@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{ClpEncoding, Wildcard}
+
+/**
+ * Static (Java-callable) runtime behind the Catalyst expressions — keeps the
+ * generated code a single static call so whole-stage codegen stays tight.
+ */
+object ClpRuntime {
+  def encodeRow(text: UTF8String): InternalRow = {
+    val e = ClpEncoding.encode(text.toString)
+    val dict: Array[AnyRef] = e.dictVars.map(UTF8String.fromString(_): AnyRef)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(e.logtype),
+      new GenericArrayData(dict),
+      new GenericArrayData(e.encodedVars)))
+  }
+
+  def decode(logtype: UTF8String, encodedVars: ArrayData, dictVars: ArrayData): UTF8String = {
+    val enc = if (encodedVars == null) Array.emptyLongArray else encodedVars.toLongArray()
+    val n = if (dictVars == null) 0 else dictVars.numElements()
+    val dict = new Array[String](n)
+    var i = 0
+    while (i < n) { dict(i) = dictVars.getUTF8String(i).toString; i += 1 }
+    UTF8String.fromString(ClpEncoding.decode(logtype.toString, enc, dict))
+  }
+
+  def wildcardMatch(tame: UTF8String, wild: UTF8String, caseSensitive: Boolean): Boolean =
+    Wildcard.matches(tame.toString, Wildcard.cleanUp(wild.toString), caseSensitive)
+
+  /** Ordered (not necessarily contiguous) subsequence match over the encoded-var
+    * stream — the reference's SubQuery::matches_vars (clp/Query.hpp:240-264). */
+  def subseqMatch(vars: ArrayData, queryVars: ArrayData): Boolean = {
+    val n = vars.numElements()
+    val m = queryVars.numElements()
+    var i = 0
+    var j = 0
+    while (i < n && j < m) {
+      if (vars.getLong(i) == queryVars.getLong(j)) j += 1
+      i += 1
+    }
+    j == m
+  }
+
+  def mergeVars(logtype: UTF8String, encodedVars: ArrayData, dictIds: ArrayData): ArrayData = {
+    val enc = if (encodedVars == null) Array.emptyLongArray else encodedVars.toLongArray()
+    val ids = if (dictIds == null) Array.emptyLongArray else dictIds.toLongArray()
+    new GenericArrayData(ClpEncoding.mergeVars(logtype.toString, enc, ids))
+  }
+}
+
+/** `clp_encode(text)` → struct<logtype, dict_vars, encoded_vars>: one-pass
+  * CLP tokenize + encode (SURVEY §2.2 P4). */
+case class ClpEncodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ClpEncodeExpr.outputType
+  override def nullSafeEval(v: Any): Any = ClpRuntime.encodeRow(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ClpRuntime.encodeRow($c)")
+  override protected def withNewChildInternal(c: Expression): ClpEncodeExpr = copy(c)
+  override def prettyName: String = "clp_encode"
+}
+
+object ClpEncodeExpr {
+  val outputType: StructType = StructType(Seq(
+    StructField("logtype", StringType, nullable = false),
+    StructField("dict_vars", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("encoded_vars", ArrayType(LongType, containsNull = false), nullable = false)))
+}
+
+/** `clp_decode(logtype, encoded_vars, dict_vars)` → the original text, byte-exact
+  * (SURVEY §2.2 P5). */
+case class ClpDecodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(l: Any, e: Any, d: Any): Any =
+    ClpRuntime.decode(l.asInstanceOf[UTF8String], e.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, e, d) => s"graft.functions.ClpRuntime.decode($l, $e, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ClpDecodeExpr =
+    copy(f, s, t)
+  override def prettyName: String = "clp_decode"
+}
+
+/** `wildcard_match(str, pattern, case_sensitive)` — CLP glob semantics with
+  * escapes (SURVEY §2.2 P7). */
+case class WildcardMatchExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Predicate {
+  override def nullSafeEval(s: Any, p: Any, c: Any): Any =
+    ClpRuntime.wildcardMatch(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String], c.asInstanceOf[Boolean])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p, c) => s"graft.functions.ClpRuntime.wildcardMatch($s, $p, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): WildcardMatchExpr =
+    copy(f, s, t)
+  override def prettyName: String = "wildcard_match"
+}
+
+/** `subseq_match(encoded_vars, query_vars)` — in-order var containment in the
+  * encoded domain, no decode needed (SURVEY §2.2 P12). */
+case class SubseqMatchExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Predicate {
+  override def nullSafeEval(v: Any, q: Any): Any =
+    ClpRuntime.subseqMatch(v.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, q) => s"graft.functions.ClpRuntime.subseqMatch($v, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SubseqMatchExpr =
+    copy(l, r)
+  override def prettyName: String = "subseq_match"
+}
+
+/** `clp_merge_vars(logtype, encoded_vars, dict_ids)` → the single CLP-order
+  * int64 var stream (dict IDs spliced at dictionary placeholders). */
+case class ClpMergeVarsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(l: Any, e: Any, d: Any): Any =
+    ClpRuntime.mergeVars(l.asInstanceOf[UTF8String], e.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, e, d) => s"graft.functions.ClpRuntime.mergeVars($l, $e, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ClpMergeVarsExpr =
+    copy(f, s, t)
+  override def prettyName: String = "clp_merge_vars"
+}
+
+/** Registration + Column-API façade for the CLP expressions. */
+object ClpFunctions {
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("clp_encode", es => ClpEncodeExpr(es.head), "built-in")
+    r.createOrReplaceTempFunction("clp_decode", es => ClpDecodeExpr(es(0), es(1), es(2)), "built-in")
+    r.createOrReplaceTempFunction("wildcard_match", es =>
+      WildcardMatchExpr(es(0), es(1), if (es.size > 2) es(2) else Literal(true)), "built-in")
+    r.createOrReplaceTempFunction("subseq_match", es => SubseqMatchExpr(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("clp_merge_vars", es => ClpMergeVarsExpr(es(0), es(1), es(2)), "built-in")
+  }
+
+  def clp_encode(text: Column): Column = call_function("clp_encode", text)
+  def clp_decode(logtype: Column, encodedVars: Column, dictVars: Column): Column =
+    call_function("clp_decode", logtype, encodedVars, dictVars)
+  def wildcard_match(str: Column, pattern: Column): Column =
+    call_function("wildcard_match", str, pattern)
+  def wildcard_match(str: Column, pattern: Column, caseSensitive: Column): Column =
+    call_function("wildcard_match", str, pattern, caseSensitive)
+  def subseq_match(vars: Column, queryVars: Column): Column =
+    call_function("subseq_match", vars, queryVars)
+  def clp_merge_vars(logtype: Column, encodedVars: Column, dictIds: Column): Column =
+    call_function("clp_merge_vars", logtype, encodedVars, dictIds)
+}
