@@ -1,0 +1,254 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ClpFunctions._
+
+/**
+ * The CLP-style parse → dict → enrich → route → aggregate pipeline
+ * (SURVEY §7 stage plan), re-expressed as DataFrame transformers:
+ *
+ *   parse      text → (logtype, dict_vars, encoded_vars)   [clp_encode expression]
+ *   dict       salted two-phase global ID assignment; deterministic dense IDs
+ *              (rank-by-value) — the distributed twin of the reference's
+ *              single-writer sequential dictionaries
+ *              (components/core/src/clp/VariableDictionaryWriter.cpp:11-41)
+ *   enrich     broadcast join of the (role, tool) lookup
+ *   route      GLT-style fan-out: hot logtypes get their own sink, the long
+ *              tail goes to the combined sink 0
+ *              (components/core/src/glt/streaming_archive/writer/GLTSegment.cpp)
+ *   aggregate  per-sink counts / min-max ts / bytes — partial/final agg is
+ *              Spark's HashAggregate, the reference's inter/intra-stage
+ *              reducer protocol (components/core/src/reducer/CountOperator.cpp)
+ *
+ * Scale notes (100 TB / 1000 executors): the only global structures are the
+ * two dictionaries, which CLP itself bounds to fit memory
+ * (streaming_archive/writer/Archive.cpp target_data_size_of_dicts); they are
+ * broadcast. Everything else is a single hash-partitioned pass over the input
+ * with map-side combine; the hot-logtype skew is defeated by the explicit
+ * dict salt and by routing with (sink_id, hash(conv_id)) compound keys.
+ */
+object ClpPipeline {
+
+  final case class Config(
+      outDir: String,
+      maxSinks: Int = 64,
+      saltParts: Int = 64,
+      filesPerSink: Int = 8,
+      resume: Boolean = false)
+
+  final case class Result(
+      turnsIn: Long,
+      rowsRouted: Long,
+      nLogtypes: Long,
+      nVars: Long)
+
+  /** Stage 1: one-pass tokenize+encode of every turn. */
+  def parse(turns: DataFrame): DataFrame =
+    turns
+      .withColumn("enc", clp_encode(col("text")))
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
+        octet_length(col("text")).as("n_bytes"),
+        col("enc.logtype").as("logtype"),
+        col("enc.dict_vars").as("dict_vars"),
+        col("enc.encoded_vars").as("encoded_vars"))
+
+  /**
+   * Salted two-phase count + deterministic dense ID assignment.
+   * Phase 1 aggregates (salt, value) so a single hot value (Zipf head) spreads
+   * over `saltParts` reducers; phase 2 merges the partials. IDs are
+   * rank-by-value (sorted, then zipWithIndex) — unlike first-seen order they
+   * are reproducible under any parallelism, which the resume tests rely on.
+   * The RDD hop is the standard distributed dense-rank (computes per-partition
+   * offsets in one extra tiny job, no single-partition window bottleneck).
+   */
+  def buildDict(values: DataFrame, valueCol: String, idCol: String, saltParts: Int): DataFrame = {
+    val spark = values.sparkSession
+    val counts = values
+      .withColumn("_salt", pmod(xxhash64(col(valueCol), spark_partition_id()), lit(saltParts)))
+      .groupBy(col("_salt"), col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(valueCol)).agg(sum(col("cnt")).as("cnt"))
+    val sorted = counts.orderBy(valueCol).select(col(valueCol), col("cnt"))
+    val withIds = sorted.rdd.zipWithIndex.map { case (r, ix) =>
+      Row(ix, r.getString(0), r.getLong(1))
+    }
+    spark.createDataFrame(withIds, StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(valueCol, StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))))
+  }
+
+  /** Logtype dictionary with GLT-style sink assignment: the `maxSinks - 1`
+    * hottest templates get dedicated sinks (1..), the long tail shares the
+    * combined sink 0 — the reference's combined-table threshold idea. */
+  def buildLogtypeDict(parsed: DataFrame, cfg: Config): DataFrame = {
+    val dict = buildDict(parsed.select(col("logtype")), "logtype", "logtype_id", cfg.saltParts)
+    val top = dict.orderBy(desc("cnt"), asc("logtype")).limit(cfg.maxSinks - 1)
+      .select("logtype_id").collect().map(_.getLong(0))
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val sinkMap = top.zipWithIndex.map { case (id, i) => (id, i + 1) }.toSeq
+      .toDF("logtype_id", "sink_id")
+    dict.join(broadcast(sinkMap), Seq("logtype_id"), "left")
+      .na.fill(0, Seq("sink_id"))
+  }
+
+  def buildVarDict(parsed: DataFrame, cfg: Config): DataFrame =
+    buildDict(parsed.select(explode(col("dict_vars")).as("value")), "value", "var_id", cfg.saltParts)
+
+  /**
+   * Stage 3+4 plan: resolve logtype → (logtype_id, sink_id) via broadcast join,
+   * map dictionary variables to their global IDs through the broadcast var
+   * dictionary, splice them into the single CLP-order `vars` stream, and
+   * broadcast-join the (role, tool) enrichment.
+   */
+  def encodeAndEnrich(parsed: DataFrame, logtypeDict: DataFrame, varDict: DataFrame,
+                      lookup: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
+    // CLP bounds dictionaries to memory size; broadcast map mirrors that.
+    // (At >broadcast-threshold dict sizes, swap for posexplode + shuffle join.)
+    val varMap: Map[String, Long] = varDict.select("value", "var_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bcVars = spark.sparkContext.broadcast(varMap)
+    val toIds = udf((arr: Seq[String]) => arr.map(bcVars.value(_)))
+    val lkp = lookup
+      .withColumn("tool_key", coalesce(col("tool"), lit("")))
+      .drop("tool")
+    parsed
+      .join(broadcast(logtypeDict.select("logtype", "logtype_id", "sink_id")), Seq("logtype"))
+      .withColumn("vars", clp_merge_vars(col("logtype"), col("encoded_vars"), toIds(col("dict_vars"))))
+      .withColumn("tool_key", coalesce(col("tool"), lit("")))
+      .join(broadcast(lkp), Seq("role", "tool_key"), "left")
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
+        col("team"), col("cost_class"), col("n_bytes"),
+        col("logtype_id"), col("sink_id"), col("vars"))
+  }
+
+  /** Stage 5: fan-out write. Partitioning is (sink_id, hash(conv_id) % filesPerSink)
+    * so the hottest sink still spreads over `filesPerSink` tasks (skew-safe), and
+    * rows inside each file keep the stable (conv_id, turn_idx) order. */
+  def route(encoded: DataFrame, cfg: Config): Unit =
+    encoded
+      .repartition(col("sink_id"), pmod(xxhash64(col("conv_id")), lit(cfg.filesPerSink)))
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .write.mode("overwrite")
+      .partitionBy("sink_id")
+      .parquet(s"${cfg.outDir}/routed")
+
+  /** Stage 6: per-sink metrics (A1/A4) — count, conv count, ts min/max, bytes. */
+  def sinkStats(routed: DataFrame): DataFrame =
+    routed.groupBy("sink_id").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("conv_id")).as("n_convs"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"),
+      sum(col("n_bytes")).as("n_bytes"),
+      countDistinct(col("logtype_id")).as("n_logtypes"))
+
+  /** Per-(sink, file-bucket) lineage rows mirroring the physical route layout. */
+  def partitionLineage(encoded: DataFrame, cfg: Config): DataFrame =
+    encoded
+      .groupBy(col("sink_id"), pmod(xxhash64(col("conv_id")), lit(cfg.filesPerSink)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_bytes")).as("n_bytes"))
+
+  /** Full run with per-stage lineage manifests and exact resume. */
+  def run(spark: SparkSession, turns: DataFrame, cfg: Config): Result = {
+    val lineage = new Lineage(cfg.outDir)
+    val parsed = parse(turns).cache()
+    val turnsIn = parsed.count()
+
+    val dictsDone = cfg.resume && lineage.isComplete("dicts")
+    if (!dictsDone) {
+      val t0 = System.nanoTime()
+      val lt = buildLogtypeDict(parsed, cfg)
+      lt.write.mode("overwrite").parquet(s"${cfg.outDir}/logtype_dict")
+      val vd = buildVarDict(parsed, cfg)
+      vd.write.mode("overwrite").parquet(s"${cfg.outDir}/var_dict")
+      lineage.complete("dicts", Map("input_rows" -> turnsIn,
+        "duration_ms" -> (System.nanoTime() - t0) / 1000000))
+    }
+    val logtypeDict = spark.read.parquet(s"${cfg.outDir}/logtype_dict")
+    val varDict = spark.read.parquet(s"${cfg.outDir}/var_dict")
+
+    val routeDone = cfg.resume && lineage.isComplete("route")
+    if (!routeDone) {
+      val t0 = System.nanoTime()
+      val encoded = encodeAndEnrich(parsed, logtypeDict, varDict,
+        TranscriptGen.roleToolLookup(spark))
+      route(encoded, cfg)
+      partitionLineage(encoded, cfg)
+        .write.mode("overwrite").parquet(s"${cfg.outDir}/lineage_partitions")
+      lineage.complete("route", Map("input_rows" -> turnsIn,
+        "duration_ms" -> (System.nanoTime() - t0) / 1000000))
+    }
+
+    val routed = spark.read.parquet(s"${cfg.outDir}/routed")
+    val statsDone = cfg.resume && lineage.isComplete("stats")
+    if (!statsDone) {
+      val t0 = System.nanoTime()
+      sinkStats(routed).write.mode("overwrite").parquet(s"${cfg.outDir}/sink_stats")
+      lineage.complete("stats", Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
+    }
+
+    val res = Result(
+      turnsIn = turnsIn,
+      rowsRouted = routed.count(),
+      nLogtypes = logtypeDict.count(),
+      nVars = varDict.count())
+    parsed.unpersist()
+    res
+  }
+
+  /**
+   * The round-trip gate: decode every routed row back to text from the
+   * dictionaries only, join the original turns on the stable key, and return
+   * rows whose decode is NOT byte-identical (must be empty).
+   */
+  def roundTripViolations(spark: SparkSession, turns: DataFrame, outDir: String): DataFrame = {
+    val routed = spark.read.parquet(s"$outDir/routed")
+    val logtypeDict = spark.read.parquet(s"$outDir/logtype_dict")
+    val varDict = spark.read.parquet(s"$outDir/var_dict")
+    val inv: Map[Long, String] = varDict.select("var_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bcInv = spark.sparkContext.broadcast(inv)
+    // split merged vars back into (encoded int/float stream, dict-value stream)
+    // using the logtype's placeholder kinds
+    val dictValsOf = udf((logtype: String, vars: Seq[Long]) => {
+      val kinds = placeholderKinds(logtype)
+      kinds.iterator.zip(vars.iterator).collect { case ('d', v) => bcInv.value(v) }.toSeq
+    })
+    val encValsOf = udf((logtype: String, vars: Seq[Long]) => {
+      val kinds = placeholderKinds(logtype)
+      kinds.iterator.zip(vars.iterator).collect { case (k, v) if k != 'd' => v }.toSeq
+    })
+    routed
+      .join(broadcast(logtypeDict.select("logtype_id", "logtype")), Seq("logtype_id"))
+      .withColumn("decoded", clp_decode(col("logtype"),
+        encValsOf(col("logtype"), col("vars")),
+        dictValsOf(col("logtype"), col("vars"))))
+      .join(turns.select(col("conv_id"), col("turn_idx"), col("text")), Seq("conv_id", "turn_idx"))
+      .filter(col("decoded") =!= col("text"))
+      .select("conv_id", "turn_idx", "text", "decoded")
+  }
+
+  /** Placeholder kind per variable position: 'i' int, 'f' float, 'd' dict. */
+  private[pipeline] def placeholderKinds(logtype: String): Array[Char] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Char](8)
+    var i = 0
+    while (i < logtype.length) {
+      val c = logtype.charAt(i)
+      if (c == graft.core.ClpEncoding.EscapeChar) i += 2
+      else {
+        if (c == graft.core.ClpEncoding.IntPlaceholder) out += 'i'
+        else if (c == graft.core.ClpEncoding.FloatPlaceholder) out += 'f'
+        else if (c == graft.core.ClpEncoding.DictPlaceholder) out += 'd'
+        i += 1
+      }
+    }
+    out.toArray
+  }
+}

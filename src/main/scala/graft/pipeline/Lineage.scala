@@ -1,0 +1,32 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/**
+ * Per-stage lineage manifests for exact resume — the Spark re-expression of
+ * the reference's chunk manifests (components/core/src/clp_s/JsonConstructor
+ * .cpp:97-141): a stage is skippable iff its manifest says COMPLETE and its
+ * outputs exist. Manifests are tiny JSON files next to the outputs; in a real
+ * lake deployment these rows live in an Iceberg metadata table (see
+ * SURVEY §7 on the LakeTable shim).
+ */
+final class Lineage(outDir: String) {
+  private def path(stage: String) = Paths.get(s"$outDir/_lineage/$stage.json")
+
+  def complete(stage: String, metrics: Map[String, Long]): Unit = {
+    val p = path(stage)
+    Files.createDirectories(p.getParent)
+    val fields = (metrics + ("completed_at_ms" -> System.currentTimeMillis()))
+      .map { case (k, v) => s""""$k": $v""" }
+      .mkString(", ")
+    val json = s"""{"stage": "$stage", "status": "COMPLETE", $fields}"""
+    Files.write(p, json.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def isComplete(stage: String): Boolean =
+    Files.exists(path(stage)) &&
+      new String(Files.readAllBytes(path(stage)), StandardCharsets.UTF_8)
+        .contains("\"COMPLETE\"")
+}

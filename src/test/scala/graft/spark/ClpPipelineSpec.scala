@@ -1,0 +1,79 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{ClpPipeline, TranscriptGen}
+
+class ClpPipelineSpec extends SparkSpecBase {
+
+  private lazy val outDir = Files.createTempDirectory("graft-pipe").toString
+  private lazy val turns = TranscriptGen.turns(spark, 4000, seed = 42L).toDF.cache()
+  private lazy val cfg = ClpPipeline.Config(outDir, maxSinks = 8, saltParts = 16, filesPerSink = 4)
+  private lazy val result = ClpPipeline.run(spark, turns, cfg)
+
+  test("pipeline routes every turn exactly once") {
+    assert(result.turnsIn > 3000)
+    assert(result.rowsRouted == result.turnsIn)
+    // one source template can yield several logtypes (e.g. a hex slot that
+    // sometimes renders all-digits encodes as int, else as dict var), so the
+    // bound is a small multiple of the template count
+    assert(result.nLogtypes > 10 && result.nLogtypes <= 8L * TranscriptGen.Templates.length)
+    assert(result.nVars > 0)
+  }
+
+  test("per-sink counts sum to the input count and match a direct groupBy") {
+    result // force
+    val routed = spark.read.parquet(s"$outDir/routed")
+    val stats = spark.read.parquet(s"$outDir/sink_stats")
+    assert(stats.agg(sum("n_rows")).head.getLong(0) == result.turnsIn)
+    val direct = routed.groupBy("sink_id").count()
+    val joined = stats.join(direct, "sink_id")
+      .filter(col("n_rows") =!= col("count")).count()
+    assert(joined == 0)
+    // hot templates own their sinks; long tail shares sink 0
+    assert(stats.count() <= cfg.maxSinks)
+  }
+
+  test("decode(template, vars) reproduces every turn's text byte-for-byte") {
+    result // force
+    val violations = ClpPipeline.roundTripViolations(spark, turns, outDir)
+    assert(violations.count() == 0)
+  }
+
+  test("dictionary IDs are dense, deterministic, and sorted by value") {
+    result // force
+    val vd = spark.read.parquet(s"$outDir/var_dict").orderBy("var_id").collect()
+    assert(vd.map(_.getLong(0)).toSeq == vd.indices.map(_.toLong))
+    val values = vd.map(_.getString(1))
+    assert(values.sameElements(values.sorted))
+    // rebuilding under different parallelism yields identical IDs
+    val parsed2 = ClpPipeline.parse(turns.repartition(13))
+    val vd2 = ClpPipeline.buildVarDict(parsed2, cfg).orderBy("var_id").collect()
+    assert(vd2.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      vd.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
+  test("resume skips completed stages and reproduces identical outputs") {
+    result // force the first full run
+    val statsBefore = spark.read.parquet(s"$outDir/sink_stats")
+      .orderBy("sink_id").collect().toSeq
+    val res2 = ClpPipeline.run(spark, turns, cfg.copy(resume = true))
+    assert(res2.rowsRouted == result.rowsRouted)
+    val statsAfter = spark.read.parquet(s"$outDir/sink_stats")
+      .orderBy("sink_id").collect().toSeq
+    assert(statsBefore == statsAfter)
+  }
+
+  test("enrichment join annotates every row that has a lookup match") {
+    result // force
+    val routed = spark.read.parquet(s"$outDir/routed")
+    assert(routed.filter(col("team").isNull).count() == 0)
+  }
+
+  test("partition lineage covers all routed rows") {
+    result // force
+    val lin = spark.read.parquet(s"$outDir/lineage_partitions")
+    assert(lin.agg(sum("n_rows")).head.getLong(0) == result.rowsRouted)
+  }
+}
