@@ -236,7 +236,7 @@ object ClpPipeline {
   }
 
   /** Placeholder kind per variable position: 'i' int, 'f' float, 'd' dict. */
-  private[pipeline] def placeholderKinds(logtype: String): Array[Char] = {
+  def placeholderKinds(logtype: String): Array[Char] = {
     val out = new scala.collection.mutable.ArrayBuffer[Char](8)
     var i = 0
     while (i < logtype.length) {

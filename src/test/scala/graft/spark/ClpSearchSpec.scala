@@ -1,0 +1,123 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Wildcard
+import graft.functions.ClpFunctions._
+import graft.pipeline.{ClpPipeline, TranscriptGen}
+import graft.search.ClpSearch
+
+/** Search correctness: every query's result set must equal the brute-force
+  * oracle `turns.filter(wildcard_match(text, query))` — the re-expression of
+  * the reference's (query → expected id set) tables
+  * (components/core/tests/test-clp_s-search.cpp:205-258). */
+class ClpSearchSpec extends SparkSpecBase {
+
+  private lazy val outDir = Files.createTempDirectory("graft-search").toString
+  private lazy val turns = TranscriptGen.turns(spark, 3000, seed = 7L).toDF.cache()
+  private lazy val engine: ClpSearch = {
+    ClpPipeline.run(spark, turns, ClpPipeline.Config(outDir, maxSinks = 8, saltParts = 8))
+    new ClpSearch(spark, outDir)
+  }
+
+  private def oracle(query: String, caseSensitive: Boolean = true): Set[(String, Int)] = {
+    val cleaned = Wildcard.cleanUp(query)
+    turns.filter(wildcard_match(col("text"), lit(cleaned), lit(caseSensitive)))
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+  }
+
+  private def got(df: DataFrame): Set[(String, Int)] =
+    df.select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+
+  private def check(query: String, caseSensitive: Boolean = true,
+                    expectNonEmpty: Boolean = true): Unit = {
+    val exp = oracle(query, caseSensitive)
+    if (expectNonEmpty) assert(exp.nonEmpty, s"oracle empty for '$query' — weak test")
+    assert(got(engine.search(query, caseSensitive)) == exp, s"mismatch for '$query'")
+  }
+
+  test("constant-text queries") {
+    check("*connection error*")
+    check("*cache hit ratio*")
+    check("no such text anywhere*", expectNonEmpty = false)
+  }
+
+  test("queries with exact int variables") {
+    // find a value that actually occurs, via the oracle corpus
+    val row = turns.filter(col("text").startsWith("task ")).select("text").head.getString(0)
+    val id = row.split(" ")(1)
+    check(s"task $id completed*")
+  }
+
+  test("queries with exact float variables") {
+    val row = turns.filter(col("text").contains("cache hit ratio ")).select("text").head.getString(0)
+    val f = row.split(" ")(3)
+    check(s"*ratio $f over*")
+  }
+
+  test("queries with dict variables (status=...)") {
+    check("*status=failed")
+    check("*with status=*")
+  }
+
+  test("absent dict variable prunes to WontMatch before scanning") {
+    assert(engine.candidates("*status=zzznotastatus here*").isEmpty)
+    assert(got(engine.search("*status=zzznotastatus here*")) ==
+      oracle("*status=zzznotastatus here*"))
+  }
+
+  test("case-insensitive search") {
+    check("*CONNECTION ERROR*", caseSensitive = false)
+  }
+
+  test("? wildcard inside tokens") {
+    check("*cache hit rati?*")
+  }
+
+  test("mid-token * wildcards (decode+verify fallback)") {
+    check("*status=fail*")
+    check("*task_* assigned*")
+  }
+
+  test("count and count-by-time agree with the oracle") {
+    val q = "*connection error*"
+    assert(engine.count(q) == oracle(q).size)
+    val total = engine.countByTime(q, 3600000L)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(total == oracle(q).size)
+  }
+
+  test("top-k returns the latest k by timestamp") {
+    val q = "*connection error*"
+    val k = 5
+    val topk = engine.topK(q, k).collect()
+    assert(topk.length == math.min(k, oracle(q).size))
+    val allTs = engine.search(q).select("ts").collect().map(_.getTimestamp(0).getTime).sorted.reverse
+    val gotTs = topk.map(_.getAs[java.sql.Timestamp]("ts").getTime)
+    assert(gotTs.sorted.reverse.toSeq == allTs.take(topk.length).toSeq)
+  }
+
+  test("timestamp-range filter (P11)") {
+    val q = "*connection error*"
+    val all = engine.search(q).select("ts").collect().map(_.getTimestamp(0))
+    val mid = all.sortBy(_.getTime).apply(all.length / 2)
+    val n = engine.search(q, tsLo = Some(mid)).count()
+    assert(n == all.count(_.getTime >= mid.getTime))
+  }
+
+  test("match-all query returns everything") {
+    assert(engine.search("*").count() == turns.count())
+  }
+
+  test("pruned scan touches only candidate sinks") {
+    engine // force init
+    val Some((df, _)) = engine.candidates("*connection error*")
+    val sinks = df.select("sink_id").distinct().collect().map(_.getInt(0)).toSet
+    val allSinks = engine.routed.select("sink_id").distinct().count()
+    assert(sinks.size.toLong < allSinks, "expected sink pruning to cut the scan")
+  }
+}
