@@ -1,0 +1,39 @@
+package graft
+
+/** Random-hyperplane LSH for cosine ANN: a deterministic (seeded) plane set;
+  * the signature buckets vectors so the scale path probes one bucket instead
+  * of scanning all vectors (brute force stays the exact baseline). */
+object KnnLsh {
+
+  @inline private def mix(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Gaussian-ish deterministic hyperplanes via sum of uniforms. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val h = mix(seed ^ (p.toLong << 32) ^ i.toLong)
+        (h.toDouble / Long.MaxValue.toDouble) // uniform in [-1, 1]
+      }
+    }
+
+  /** Sign-bit signature of a vector against the planes. */
+  def signature(emb: Array[Float], planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(emb.length, plane.length)
+      while (i < n) { dot += emb(i) * plane(i); i += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+}

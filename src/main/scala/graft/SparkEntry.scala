@@ -1,13 +1,20 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query bodies live in [[GraftQueries]] (operator coverage per SURVEY §2). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001: the CLP round-trip gate over the documents table —
+    * rows > 0 iff decode(encode(text)) == text holds for whole groups. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    GraftQueries.queries("clp_roundtrip")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = GraftQueries.queries
+
+  /** DuckDB-runnable oracle per query (omitted ⇒ rows-only check:
+    * dedup_minhash_pairs [LSH banding], knn_lsh [ANN bucket probe]). */
+  def oracleSql: Map[String, String] = GraftQueries.oracleSql
 }
