@@ -56,30 +56,54 @@ object ClpPipeline {
         col("enc.dict_vars").as("dict_vars"),
         col("enc.encoded_vars").as("encoded_vars"))
 
+  /** Dictionaries above this cardinality use the fully distributed ID path. */
+  val DriverDictThreshold: Long = 2000000L
+
   /**
    * Salted two-phase count + deterministic dense ID assignment.
    * Phase 1 aggregates (salt, value) so a single hot value (Zipf head) spreads
    * over `saltParts` reducers; phase 2 merges the partials. IDs are
-   * rank-by-value (sorted, then zipWithIndex) — unlike first-seen order they
-   * are reproducible under any parallelism, which the resume tests rely on.
-   * The RDD hop is the standard distributed dense-rank (computes per-partition
-   * offsets in one extra tiny job, no single-partition window bottleneck).
+   * rank-by-value — unlike first-seen order they are reproducible under any
+   * parallelism, which the resume tests rely on.
+   *
+   * ID assignment is hybrid: CLP itself keeps dictionaries memory-resident
+   * and bounded (streaming_archive/writer/Archive.cpp target_data_size_of_
+   * dicts), so the common case sorts the aggregated (value, cnt) pairs on the
+   * driver — one job, and the same array feeds the broadcast lookup. Above
+   * [[DriverDictThreshold]] the distributed dense-rank path (sort +
+   * zipWithIndex partition offsets) takes over.
    */
   def buildDict(values: DataFrame, valueCol: String, idCol: String, saltParts: Int): DataFrame = {
     val spark = values.sparkSession
+    import spark.implicits._
     val counts = values
       .withColumn("_salt", pmod(xxhash64(col(valueCol), spark_partition_id()), lit(saltParts)))
       .groupBy(col("_salt"), col(valueCol)).agg(count(lit(1)).as("cnt"))
       .groupBy(col(valueCol)).agg(sum(col("cnt")).as("cnt"))
-    val sorted = counts.orderBy(valueCol).select(col(valueCol), col("cnt"))
-    val withIds = sorted.rdd.zipWithIndex.map { case (r, ix) =>
-      Row(ix, r.getString(0), r.getLong(1))
+      .select(col(valueCol), col("cnt")).as[(String, Long)]
+    val localOrNull =
+      try counts.collect() // typical CLP dict: well under DriverDictThreshold
+      catch { case _: OutOfMemoryError => null }
+    if (localOrNull != null && localOrNull.length <= DriverDictThreshold) {
+      val sorted = localOrNull.sortBy(_._1)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          sorted.iterator.zipWithIndex.map { case ((v, c), ix) => Row(ix.toLong, v, c) }.toSeq,
+          math.max(1, sorted.length / 500000 + 1)),
+        dictSchema(idCol, valueCol))
+    } else {
+      val sorted = counts.toDF(valueCol, "cnt").orderBy(valueCol)
+      val withIds = sorted.rdd.zipWithIndex.map { case (r, ix) =>
+        Row(ix, r.getString(0), r.getLong(1))
+      }
+      spark.createDataFrame(withIds, dictSchema(idCol, valueCol))
     }
-    spark.createDataFrame(withIds, StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField(valueCol, StringType, nullable = false),
-      StructField("cnt", LongType, nullable = false))))
   }
+
+  private def dictSchema(idCol: String, valueCol: String): StructType = StructType(Seq(
+    StructField(idCol, LongType, nullable = false),
+    StructField(valueCol, StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
 
   /** Logtype dictionary with GLT-style sink assignment: the `maxSinks - 1`
     * hottest templates get dedicated sinks (1..), the long tail shares the
@@ -108,46 +132,69 @@ object ClpPipeline {
   def encodeAndEnrich(parsed: DataFrame, logtypeDict: DataFrame, varDict: DataFrame,
                       lookup: DataFrame): DataFrame = {
     val spark = parsed.sparkSession
-    // CLP bounds dictionaries to memory size; broadcast map mirrors that.
-    // (At >broadcast-threshold dict sizes, swap for posexplode + shuffle join.)
+    // CLP keeps both dictionaries memory-resident; the broadcast maps mirror
+    // that. One fused per-row function resolves logtype → (id, sink), maps
+    // dict vars to global IDs, and splices the merged CLP-order var stream —
+    // a single pass, no join shuffle for the dictionary side.
+    val ltMap: Map[String, (Long, Int)] =
+      logtypeDict.select("logtype", "logtype_id", "sink_id").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     val varMap: Map[String, Long] = varDict.select("value", "var_id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bcLt = spark.sparkContext.broadcast(ltMap)
     val bcVars = spark.sparkContext.broadcast(varMap)
-    val toIds = udf((arr: Seq[String]) => arr.map(bcVars.value(_)))
+    val resolve = udf((logtype: String, dictVars: Seq[String], encodedVars: Seq[Long]) => {
+      val (ltId, sink) = bcLt.value(logtype)
+      val vm = bcVars.value
+      val ids = new Array[Long](dictVars.length)
+      var i = 0
+      while (i < ids.length) { ids(i) = vm(dictVars(i)); i += 1 }
+      (ltId, sink, graft.core.ClpEncoding.mergeVars(logtype, encodedVars.toArray, ids))
+    })
     val lkp = lookup
       .withColumn("tool_key", coalesce(col("tool"), lit("")))
       .drop("tool")
     parsed
-      .join(broadcast(logtypeDict.select("logtype", "logtype_id", "sink_id")), Seq("logtype"))
-      .withColumn("vars", clp_merge_vars(col("logtype"), col("encoded_vars"), toIds(col("dict_vars"))))
+      .withColumn("e", resolve(col("logtype"), col("dict_vars"), col("encoded_vars")))
       .withColumn("tool_key", coalesce(col("tool"), lit("")))
-      .join(broadcast(lkp), Seq("role", "tool_key"), "left")
+      .join(broadcast(lkp), Seq("role", "tool_key"), "left") // J4 enrichment join
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("team"), col("cost_class"), col("n_bytes"),
-        col("logtype_id"), col("sink_id"), col("vars"))
+        col("e._1").as("logtype_id"), col("e._2").as("sink_id"), col("e._3").as("vars"))
   }
 
   /** Stage 5: fan-out write. Partitioning is (sink_id, hash(conv_id) % filesPerSink)
     * so the hottest sink still spreads over `filesPerSink` tasks (skew-safe), and
-    * rows inside each file keep the stable (conv_id, turn_idx) order. */
-  def route(encoded: DataFrame, cfg: Config): Unit =
+    * rows inside each file keep the stable (conv_id, turn_idx) order.
+    * The explicit partition count pins full parallelism (AQE would coalesce a
+    * small shuffle below the core count), and the leading sink_id sort makes
+    * the dynamic-partition writer's required ordering already satisfied — no
+    * second sort before the parquet write. */
+  def route(encoded: DataFrame, cfg: Config): Unit = {
+    val spark = encoded.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism * 2,
+      spark.sessionState.conf.numShufflePartitions)
     encoded
-      .repartition(col("sink_id"), pmod(xxhash64(col("conv_id")), lit(cfg.filesPerSink)))
-      .sortWithinPartitions("conv_id", "turn_idx")
+      .repartition(parts, col("sink_id"), pmod(xxhash64(col("conv_id")), lit(cfg.filesPerSink)))
+      .sortWithinPartitions("sink_id", "conv_id", "turn_idx")
       .write.mode("overwrite")
       .partitionBy("sink_id")
       .parquet(s"${cfg.outDir}/routed")
+  }
 
-  /** Stage 6: per-sink metrics (A1/A4) — count, conv count, ts min/max, bytes. */
+  /** Stage 6: per-sink metrics (A1/A4) — count, conv count, ts min/max, bytes.
+    * Row/byte counts and ts bounds are exact (the correctness gate); the
+    * cardinality columns are HLL sketches — one pass, no count-distinct
+    * expansion shuffle. */
   def sinkStats(routed: DataFrame): DataFrame =
     routed.groupBy("sink_id").agg(
       count(lit(1)).as("n_rows"),
-      countDistinct(col("conv_id")).as("n_convs"),
+      approx_count_distinct(col("conv_id")).as("n_convs_approx"),
       min(col("ts")).as("min_ts"),
       max(col("ts")).as("max_ts"),
       sum(col("n_bytes")).as("n_bytes"),
-      countDistinct(col("logtype_id")).as("n_logtypes"))
+      approx_count_distinct(col("logtype_id")).as("n_logtypes_approx"))
 
   /** Per-(sink, file-bucket) lineage rows mirroring the physical route layout. */
   def partitionLineage(encoded: DataFrame, cfg: Config): DataFrame =
@@ -155,11 +202,24 @@ object ClpPipeline {
       .groupBy(col("sink_id"), pmod(xxhash64(col("conv_id")), lit(cfg.filesPerSink)).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum(col("n_bytes")).as("n_bytes"))
 
-  /** Full run with per-stage lineage manifests and exact resume. */
+  /** Full run with per-stage lineage manifests and exact resume.
+    *
+    * The parsed form is a columnar parquet intermediate rather than a cached
+    * Dataset: the dictionary builds then scan ONLY their own columns (logtype
+    * resp. dict_vars — Parquet column pruning), the route pass streams all of
+    * them once, memory stays flat at any scale, and every stage boundary is a
+    * durable resume point. */
   def run(spark: SparkSession, turns: DataFrame, cfg: Config): Result = {
     val lineage = new Lineage(cfg.outDir)
-    val parsed = parse(turns).cache()
-    val turnsIn = parsed.count()
+
+    if (!(cfg.resume && lineage.isComplete("parse"))) {
+      val t0 = System.nanoTime()
+      parse(turns).write.mode("overwrite").parquet(s"${cfg.outDir}/parsed")
+      lineage.complete("parse",
+        Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
+    }
+    val parsed = spark.read.parquet(s"${cfg.outDir}/parsed")
+    val turnsIn = parsed.count() // metadata-only count on parquet
 
     val dictsDone = cfg.resume && lineage.isComplete("dicts")
     if (!dictsDone) {
@@ -180,8 +240,6 @@ object ClpPipeline {
       val encoded = encodeAndEnrich(parsed, logtypeDict, varDict,
         TranscriptGen.roleToolLookup(spark))
       route(encoded, cfg)
-      partitionLineage(encoded, cfg)
-        .write.mode("overwrite").parquet(s"${cfg.outDir}/lineage_partitions")
       lineage.complete("route", Map("input_rows" -> turnsIn,
         "duration_ms" -> (System.nanoTime() - t0) / 1000000))
     }
@@ -191,16 +249,16 @@ object ClpPipeline {
     if (!statsDone) {
       val t0 = System.nanoTime()
       sinkStats(routed).write.mode("overwrite").parquet(s"${cfg.outDir}/sink_stats")
+      partitionLineage(routed, cfg)
+        .write.mode("overwrite").parquet(s"${cfg.outDir}/lineage_partitions")
       lineage.complete("stats", Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
     }
 
-    val res = Result(
+    Result(
       turnsIn = turnsIn,
       rowsRouted = routed.count(),
       nLogtypes = logtypeDict.count(),
       nVars = varDict.count())
-    parsed.unpersist()
-    res
   }
 
   /**

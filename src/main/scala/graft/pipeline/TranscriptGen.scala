@@ -33,13 +33,13 @@ object TranscriptGen {
   /** ~50 templates; %d int, %f float, %s string-ish var, %x hex, %p path. */
   val Templates: Array[String] = Array(
     "task %d completed in %f seconds with status=%s",
-    " INFO Task task_%d assigned to container: [NodeAddress:10.0.%d.%d:%d]",
-    "connection error %d from 10.0.%d.%d retry=%d",
+    " INFO Task task_%b assigned to container: [NodeAddress:10.0.%b.%b:%d]",
+    "connection error %d from 10.0.%b.%b retry=%d",
     "uploaded %d bytes to %p in %f s",
-    "checksum %x verified for file%d",
+    "checksum %x verified for file%b",
     "user asked about topic %d with confidence %f",
     "tool call %s returned rc=%d after %f ms",
-    "compile module_%d: %d warnings, %d errors",
+    "compile module_%b: %d warnings, %d errors",
     "GET %p HTTP/1.1 rc=%d bytes=%d",
     "cache hit ratio %f over %d lookups",
     "spawned worker %x on core %d nice=%d",
@@ -49,8 +49,8 @@ object TranscriptGen {
     "observed latency p50=%f p99=%f over %d samples",
     "agent step %d: invoking %s with timeout %d s",
     "fetched %d rows from shard %d in %f ms",
-    "escaped chars ok in literal %d \\raw\\%d",
-    "version 00%d is pinned (build %x)",
+    "escaped chars ok in literal %d \\raw\\%b",
+    "version 00%b is pinned (build %x)",
     "merged %d of %d chunks into %p",
     "rate limit %d/%d reached for key %x",
     "summarize doc %d: %d tokens in, %d tokens out",
@@ -62,17 +62,17 @@ object TranscriptGen {
     "model scored %f on batch %d",
     "conversation context trimmed to %d tokens",
     "lookup key=%s miss count=%d",
-    "tls handshake with peer 10.%d.%d.%d took %f ms",
+    "tls handshake with peer 10.%b.%b.%b took %f ms",
     "queue depth %d exceeds threshold %d",
     "assistant replied with %d sentences and %d citations",
     "parse warning at line %d col %d: token %s",
     "disk %p usage %f%% inodes=%d",
     "watchdog timer %d armed for pid %d",
-    "loaded plugin %s v%d.%d.%d",
+    "loaded plugin %s v%b.%b.%b",
     "billing cycle %d closed with balance %f",
     "reduced shuffle from %d to %d partitions",
     "sensor %x reading %f at offset %d",
-    "translated %d chars from lang_%d to lang_%d",
+    "translated %d chars from lang_%b to lang_%b",
     "stacktrace frame %d: %p+0x%x",
     "session %x renewed ttl=%d s",
     "vector search top-%d over %d docs in %f ms",
@@ -134,6 +134,7 @@ object TranscriptGen {
       if (c == '%' && i + 1 < t.length) {
         t.charAt(i + 1) match {
           case 'd' => out.append(java.lang.Long.toString(math.abs(next()) % 100000)); i += 2
+          case 'b' => out.append(java.lang.Long.toString(math.abs(next()) % 500)); i += 2
           case 'f' =>
             val scale = (math.abs(next()) % 4 + 1).toInt
             val mant = math.abs(next()) % 1000000
@@ -142,7 +143,10 @@ object TranscriptGen {
             val frac = java.lang.Long.toString(mant % 1000 + 1000).substring(1)
             out.append(frac.substring(0, math.min(scale, 3))); i += 2
           case 's' => out.append(StringVals((math.abs(next()) % StringVals.length).toInt)); i += 2
-          case 'x' => out.append(java.lang.Long.toHexString(math.abs(next()) % 0xffffffffL)); i += 2
+          // bounded hex-id space: dictionary variables REPEAT in real logs —
+          // that's CLP's core premise; an unbounded random id space would make
+          // the dictionary linear in the corpus and defeat the design
+          case 'x' => out.append(java.lang.Long.toHexString(0x10000L + math.abs(next()) % 0xffffL)); i += 2
           case 'p' => out.append(Paths((math.abs(next()) % Paths.length).toInt)); i += 2
           case '%' => out.append('%'); i += 2
           case other => out.append(c).append(other); i += 2
