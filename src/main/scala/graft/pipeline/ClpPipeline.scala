@@ -248,9 +248,25 @@ object ClpPipeline {
     val statsDone = cfg.resume && lineage.isComplete("stats")
     if (!statsDone) {
       val t0 = System.nanoTime()
-      sinkStats(routed).write.mode("overwrite").parquet(s"${cfg.outDir}/sink_stats")
-      partitionLineage(routed, cfg)
+      // one scan for both granularities: rollup (sink_id, bucket) emits the
+      // per-bucket lineage rows AND the per-sink subtotals in a single
+      // partial/final aggregation
+      val rolled = routed
+        .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(cfg.filesPerSink)))
+        .rollup(col("sink_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("conv_id")).as("n_convs_approx"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+          sum(col("n_bytes")).as("n_bytes"),
+          approx_count_distinct(col("logtype_id")).as("n_logtypes_approx"))
+        .cache()
+      rolled.filter(col("sink_id").isNotNull && col("bucket").isNull)
+        .drop("bucket")
+        .write.mode("overwrite").parquet(s"${cfg.outDir}/sink_stats")
+      rolled.filter(col("sink_id").isNotNull && col("bucket").isNotNull)
+        .select("sink_id", "bucket", "n_rows", "n_bytes")
         .write.mode("overwrite").parquet(s"${cfg.outDir}/lineage_partitions")
+      rolled.unpersist()
       lineage.complete("stats", Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
     }
 

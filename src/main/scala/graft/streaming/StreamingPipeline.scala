@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.{ClpPipeline, TranscriptGen}
+
+/**
+ * Structured-Streaming ingestion — the reference's real-time IR path
+ * (components/core/src/clp/ffi/ir_stream/Serializer.cpp; SURVEY §2.7 W3/W5)
+ * re-expressed as readStream → clp_encode → foreachBatch {merge dictionary
+ * delta, route append}.
+ *
+ * Dictionary state grows monotonically across batches exactly like the
+ * reference's single-writer in-memory dicts: within a batch, new values are
+ * sorted before ID assignment (deterministic); across batches, IDs continue
+ * from the current max — so replaying the same batch sequence reproduces the
+ * same dictionary (the streaming twin of the batch determinism rule).
+ */
+final class StreamingPipeline(spark: SparkSession, outDir: String) {
+
+  /** Merges a micro-batch of turns; returns rows appended. */
+  def processBatch(turns: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    val parsed = ClpPipeline.parse(turns)
+      // a batch is small: localCheckpoint would pin executors in streaming;
+      // just materialize via cache for the two passes below
+      .cache()
+
+    // ---- dictionary deltas (var + logtype), monotone IDs ----
+    val varDictPath = s"$outDir/var_dict"
+    val ltDictPath = s"$outDir/logtype_dict"
+    val haveDicts = new java.io.File(s"$varDictPath/_SUCCESS").exists()
+    val (oldVars, oldLts) =
+      if (haveDicts)
+        (spark.read.parquet(varDictPath).select("value", "var_id").as[(String, Long)].collect().toMap,
+         spark.read.parquet(ltDictPath).select("logtype", "logtype_id").as[(String, Long)].collect().toMap)
+      else (Map.empty[String, Long], Map.empty[String, Long])
+
+    val newVarValues = parsed.select(explode(col("dict_vars")).as("value"))
+      .distinct().as[String].collect().filterNot(oldVars.contains).sorted
+    val newLtValues = parsed.select(col("logtype")).distinct().as[String]
+      .collect().filterNot(oldLts.contains).sorted
+
+    val varBase = if (oldVars.isEmpty) 0L else oldVars.values.max + 1
+    val ltBase = if (oldLts.isEmpty) 0L else oldLts.values.max + 1
+    val vars = oldVars ++ newVarValues.zipWithIndex.map { case (v, i) => v -> (varBase + i) }
+    val lts = oldLts ++ newLtValues.zipWithIndex.map { case (v, i) => v -> (ltBase + i) }
+
+    if (newVarValues.nonEmpty || !haveDicts)
+      vars.toSeq.map { case (v, id) => (id, v) }.toDF("var_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(varDictPath)
+    if (newLtValues.nonEmpty || !haveDicts)
+      lts.toSeq.map { case (v, id) => (id, v) }.toDF("logtype_id", "logtype")
+        .coalesce(1).write.mode("overwrite").parquet(ltDictPath)
+
+    // ---- encode + route append (sink = logtype_id % 16 for the stream) ----
+    val bcVars = spark.sparkContext.broadcast(vars)
+    val bcLts = spark.sparkContext.broadcast(lts)
+    val resolve = udf((logtype: String, dictVars: Seq[String], encodedVars: Seq[Long]) => {
+      val ltId = bcLts.value(logtype)
+      val ids = dictVars.map(bcVars.value(_)).toArray
+      (ltId, (ltId % 16).toInt,
+        graft.core.ClpEncoding.mergeVars(logtype, encodedVars.toArray, ids))
+    })
+    parsed
+      .withColumn("e", resolve(col("logtype"), col("dict_vars"), col("encoded_vars")))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
+        col("n_bytes"), col("e._1").as("logtype_id"), col("e._2").as("sink_id"),
+        col("e._3").as("vars"), lit(batchId).as("batch_id"))
+      .write.mode("append").partitionBy("sink_id").parquet(s"$outDir/routed")
+    parsed.unpersist()
+  }
+
+  /** Wires a streaming source of turns into the pipeline. */
+  def start(turnsStream: DataFrame, checkpointDir: String): StreamingQuery =
+    turnsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id))
+      .start()
+}
