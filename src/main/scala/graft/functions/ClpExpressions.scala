@@ -39,6 +39,21 @@ object ClpRuntime {
 
   /** Ordered (not necessarily contiguous) subsequence match over the encoded-var
     * stream — the reference's SubQuery::matches_vars (clp/Query.hpp:240-264). */
+  def encodeSchemaRow(text: UTF8String, schema: graft.core.TokenizerSchema): InternalRow = {
+    val e = graft.core.SchemaTokenizer.encode(text.toString, schema)
+    val dict: Array[AnyRef] = e.dictVars.map(UTF8String.fromString(_): AnyRef)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(e.logtype),
+      new GenericArrayData(dict),
+      new GenericArrayData(e.encodedVars)))
+  }
+
+  def tsParse(text: UTF8String): InternalRow =
+    graft.core.TimestampPatterns.search(text.toString) match {
+      case Some((id, epoch, len)) => new GenericInternalRow(Array[Any](id, epoch, len))
+      case None => null
+    }
+
   def subseqMatch(vars: ArrayData, queryVars: ArrayData): Boolean = {
     val n = vars.numElements()
     val m = queryVars.numElements()
@@ -130,6 +145,60 @@ case class ClpMergeVarsExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "clp_merge_vars"
 }
 
+/** `clp_encode_schema(text)` with a user tokenizer schema (grok/regex mode,
+  * SURVEY §2.2 P6) — same output shape as [[ClpEncodeExpr]], so the whole
+  * downstream pipeline is tokenizer-agnostic. */
+case class ClpEncodeSchemaExpr(child: Expression, schema: graft.core.TokenizerSchema)
+    extends UnaryExpression {
+  override def dataType: DataType = ClpEncodeExpr.outputType
+  override def nullSafeEval(v: Any): Any =
+    ClpRuntime.encodeSchemaRow(v.asInstanceOf[UTF8String], schema)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokSchema", schema, classOf[graft.core.TokenizerSchema].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.ClpRuntime.encodeSchemaRow($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): ClpEncodeSchemaExpr =
+    copy(child = c)
+  override def prettyName: String = "clp_encode_schema"
+}
+
+/** `ts_pattern_parse(text)` → struct<pattern_id, epoch_ms, ts_len> or null —
+  * format-preserving timestamp search (SURVEY §2.2 P2). */
+case class TsPatternParseExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TsPatternParseExpr.outputType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = ClpRuntime.tsParse(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ClpRuntime.tsParse($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(c: Expression): TsPatternParseExpr = copy(c)
+  override def prettyName: String = "ts_pattern_parse"
+}
+
+object TsPatternParseExpr {
+  val outputType: StructType = StructType(Seq(
+    StructField("pattern_id", IntegerType, nullable = false),
+    StructField("epoch_ms", LongType, nullable = false),
+    StructField("ts_len", IntegerType, nullable = false)))
+}
+
+/** `ts_pattern_format(pattern_id, epoch_ms)` → the exact original string
+  * (SURVEY §2.2 P3). */
+case class TsPatternFormatExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(p: Any, e: Any): Any =
+    UTF8String.fromString(
+      graft.core.TimestampPatterns.format(p.asInstanceOf[Int], e.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, e) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.TimestampPatterns.format($p, $e))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TsPatternFormatExpr =
+    copy(l, r)
+  override def prettyName: String = "ts_pattern_format"
+}
+
 /** Registration + Column-API façade for the CLP expressions. */
 object ClpFunctions {
   def register(spark: SparkSession): Unit = {
@@ -140,6 +209,8 @@ object ClpFunctions {
       WildcardMatchExpr(es(0), es(1), if (es.size > 2) es(2) else Literal(true)), "built-in")
     r.createOrReplaceTempFunction("subseq_match", es => SubseqMatchExpr(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("clp_merge_vars", es => ClpMergeVarsExpr(es(0), es(1), es(2)), "built-in")
+    r.createOrReplaceTempFunction("ts_pattern_parse", es => TsPatternParseExpr(es.head), "built-in")
+    r.createOrReplaceTempFunction("ts_pattern_format", es => TsPatternFormatExpr(es(0), es(1)), "built-in")
   }
 
   def clp_encode(text: Column): Column = call_function("clp_encode", text)
@@ -153,4 +224,17 @@ object ClpFunctions {
     call_function("subseq_match", vars, queryVars)
   def clp_merge_vars(logtype: Column, encodedVars: Column, dictIds: Column): Column =
     call_function("clp_merge_vars", logtype, encodedVars, dictIds)
+  def ts_pattern_parse(text: Column): Column = call_function("ts_pattern_parse", text)
+  def ts_pattern_format(patternId: Column, epochMs: Column): Column =
+    call_function("ts_pattern_format", patternId, epochMs)
+
+  /** Grok/schema-mode encode; the schema is plan-time configuration, so this
+    * builds the Expression directly rather than via the registry. */
+  def clp_encode_schema(text: Column, schema: graft.core.TokenizerSchema)(
+      implicit spark: org.apache.spark.sql.SparkSession): Column = {
+    val fname = "clp_encode_schema_" + Integer.toHexString(System.identityHashCode(schema))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, es => ClpEncodeSchemaExpr(es.head, schema), "built-in")
+    call_function(fname, text)
+  }
 }

@@ -37,7 +37,9 @@ object ClpPipeline {
       maxSinks: Int = 64,
       saltParts: Int = 64,
       filesPerSink: Int = 8,
-      resume: Boolean = false)
+      resume: Boolean = false,
+      /** grok/regex schema mode (P6); None = CLP heuristic tokenizer. */
+      tokenizerSchema: Option[graft.core.TokenizerSchema] = None)
 
   final case class Result(
       turnsIn: Long,
@@ -45,16 +47,22 @@ object ClpPipeline {
       nLogtypes: Long,
       nVars: Long)
 
-  /** Stage 1: one-pass tokenize+encode of every turn. */
-  def parse(turns: DataFrame): DataFrame =
+  /** Stage 1: one-pass tokenize+encode of every turn (heuristic or schema mode). */
+  def parse(turns: DataFrame, schema: Option[graft.core.TokenizerSchema] = None): DataFrame = {
+    implicit val spark: SparkSession = turns.sparkSession
+    val enc = schema match {
+      case Some(s) => graft.functions.ClpFunctions.clp_encode_schema(col("text"), s)
+      case None => clp_encode(col("text"))
+    }
     turns
-      .withColumn("enc", clp_encode(col("text")))
+      .withColumn("enc", enc)
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         octet_length(col("text")).as("n_bytes"),
         col("enc.logtype").as("logtype"),
         col("enc.dict_vars").as("dict_vars"),
         col("enc.encoded_vars").as("encoded_vars"))
+  }
 
   /** Dictionaries above this cardinality use the fully distributed ID path. */
   val DriverDictThreshold: Long = 2000000L
@@ -214,7 +222,7 @@ object ClpPipeline {
 
     if (!(cfg.resume && lineage.isComplete("parse"))) {
       val t0 = System.nanoTime()
-      parse(turns).write.mode("overwrite").parquet(s"${cfg.outDir}/parsed")
+      parse(turns, cfg.tokenizerSchema).write.mode("overwrite").parquet(s"${cfg.outDir}/parsed")
       lineage.complete("parse",
         Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
     }
