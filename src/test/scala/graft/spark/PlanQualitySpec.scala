@@ -1,0 +1,66 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: filters/projections reach the parquet scan,
+  * dimension joins broadcast, aggregations split partial/final, windowed
+  * count stays a single shuffle — the plans we'd want at 100 TB, not just
+  * plans that pass. */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  /** Materialize first so AQE's *final* plan (with WholeStageCodegen spans)
+    * is the one asserted — the pre-execution AdaptiveSparkPlan hides them. */
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    plan(df)
+  }
+
+  test("q2: predicate pushdown + column pruning reach the scan") {
+    val p = plan(graft.GraftQueries.queries("q2_filter_pushdown")(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"))
+    // only the referenced columns are read
+    assert(p.contains("l_orderkey") && !p.contains("l_extendedprice"))
+  }
+
+  test("q3: dimension chain uses broadcast hash joins, no sort-merge") {
+    val p = plan(graft.GraftQueries.queries("q3_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1: aggregation is partial/final hash aggregate inside codegen") {
+    val p = executedPlan(graft.GraftQueries.queries("q1_agg")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+    assert(p.contains("[codegen id :"))
+  }
+
+  test("q4/q5: semi and anti joins stay broadcast at dimension scale") {
+    assert(plan(graft.GraftQueries.queries("q4_semi_join")(spark, sf))
+      .contains("LeftSemi"))
+    assert(plan(graft.GraftQueries.queries("q5_anti_join")(spark, sf))
+      .contains("LeftAnti"))
+  }
+
+  test("clp_encode stays inside whole-stage codegen") {
+    val p = executedPlan(graft.GraftQueries.queries("clp_roundtrip")(spark, sf))
+    assert(p.contains("[codegen id :"))
+    assert(p.contains("clp_encode") || p.contains("clp_decode"))
+  }
+
+  test("search candidates prune with partition filter on sink_id") {
+    val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val turns = graft.pipeline.TranscriptGen.turns(spark, 1500, seed = 5L).toDF
+    graft.pipeline.ClpPipeline.run(spark, turns,
+      graft.pipeline.ClpPipeline.Config(out, maxSinks = 8, saltParts = 4))
+    val engine = new graft.search.ClpSearch(spark, out)
+    val Some((df, _)) = engine.candidates("*connection error*")
+    val p = plan(df)
+    // sink_id is a partition column of the routed table: the filter must be a
+    // partition filter (directory pruning), not a data filter
+    assert(p.contains("PartitionFilters") && p.contains("sink_id"))
+  }
+}
