@@ -247,6 +247,26 @@ object GraftQueries {
         .orderBy(desc("score"), asc("vec_id")).limit(5)
     }),
 
+    "dedup_embedding" -> ((s, d) => {
+      // embedding-cosine near-dup: all pairs above threshold, exact.
+      // Test-scale plan is a broadcast self-join (O(n^2) compare, no shuffle);
+      // the 100 TB path buckets by SimHash-style hyperplane signs first
+      // (see knn_lsh) and runs this same exact-cosine kernel per bucket.
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val dot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", round(
+          dot(col("a_emb"), col("b_emb")) /
+            (sqrt(dot(col("a_emb"), col("a_emb"))) *
+             sqrt(dot(col("b_emb"), col("b_emb")))), 4))
+        .filter(col("cos") >= 0.4)
+        .select("a_id", "b_id", "cos").orderBy("a_id", "b_id")
+    }),
+
     // ---- multimodal plumbing (binary payload + stubbed decode) ----
     "multimodal_meta" -> ((s, d) => {
       // opaque binary column + deterministic fake feature extraction; the
@@ -262,6 +282,27 @@ object GraftQueries {
         })
         .toDF("doc_id", "n_bytes", "width", "height", "n_frames")
         .orderBy("doc_id")
+    }),
+
+    "multimodal_frames" -> ((s, d) => {
+      // frame-sampling plumbing for video-like payloads: the per-partition
+      // iterator decodes each payload once and emits every sampled frame
+      // (the batch shape a real codec UDF would have); the codec itself is a
+      // deterministic stub (no media libs in this container). Frames are
+      // sampled at stride 2; per-frame feature is a stub fingerprint.
+      import s.implicits._
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, payload) =>
+          val nBytes = payload.length.toLong
+          val nFrames = 1 + nBytes % 7
+          (0L until nFrames by 2).iterator.map { frameIdx =>
+            (id, frameIdx, (nBytes * 31 + frameIdx * 7) % 997)
+          }
+        })
+        .toDF("doc_id", "frame_idx", "feat")
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // ---- near-dup dedup family ----
@@ -521,6 +562,18 @@ object GraftQueries {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, frame_idx, (L*31 + frame_idx*7) % 997 AS feat FROM (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS L,
+        |    unnest(range(0, strlen(text)%7 + 1, 2)) AS frame_idx
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |  320 + strlen(text) % 320 AS width, 240 + strlen(text) % 240 AS height,
