@@ -247,6 +247,35 @@ object GraftQueries {
         .orderBy(desc("score"), asc("vec_id")).limit(5)
     }),
 
+    "ir_roundtrip" -> ((s, d) => {
+      // S5 IR-stream source/sink: per-source event streams are CLP-encoded
+      // and serialized to the tag-byte IR wire format (ts deltas,
+      // stream-local logtype dictionary), shipped as opaque binary blobs,
+      // then deserialized and decoded — md5(text) must equal the original.
+      // At scale each blob is one producer's stream (a partition), not a
+      // driver-side collect.
+      import s.implicits._
+      val base = 1600000000000L
+      val docs = t(s, d, "documents").select(col("source"), col("doc_id"), col("text"))
+        .as[(String, Long, String)]
+      docs.groupByKey(_._1)
+        .mapGroups { (_, it) =>
+          val evs = it.toArray.sortBy(_._2).map { case (_, id, text) =>
+            graft.core.IrStream.IrEvent(base + id, graft.core.ClpEncoding.encode(text))
+          }
+          graft.core.IrStream.serialize(evs)
+        }
+        .flatMap { bytes =>
+          graft.core.IrStream.deserialize(bytes).map { ev =>
+            (ev.tsMs - base, graft.core.ClpEncoding.decode(
+              ev.encoded.logtype, ev.encoded.encodedVars, ev.encoded.dictVars))
+          }
+        }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_embedding" -> ((s, d) => {
       // embedding-cosine near-dup: all pairs above threshold, exact.
       // Test-scale plan is a broadcast self-join (O(n^2) compare, no shuffle);
@@ -562,6 +591,8 @@ object GraftQueries {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin,
+    "ir_roundtrip" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1",
     "dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
