@@ -82,3 +82,33 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id))
       .start()
 }
+
+object StreamingPipeline {
+
+  /** The reference's real-time ingestion source: logging libraries emit CLP
+    * IR streams as files/objects; this reads them with the binary-file
+    * streaming source and deserializes each stream back into turn rows
+    * (SURVEY §2.1 S5). One file = one producer's stream; the file stem is
+    * its conversation id, event order its turn index — decode happens here
+    * so the downstream pipeline re-encodes, proving the wire format carries
+    * everything the engine needs. */
+  def irFileSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.gir")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val convId = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".gir")
+        graft.core.IrStream.deserialize(bytes).zipWithIndex.map { case (ev, ix) =>
+          graft.pipeline.Turn(convId, ix, "log",
+            graft.core.ClpEncoding.decode(
+              ev.encoded.logtype, ev.encoded.encodedVars, ev.encoded.dictVars),
+            "ir", new java.sql.Timestamp(ev.tsMs))
+        }
+      }
+      .toDF
+  }
+}

@@ -61,4 +61,47 @@ class StreamingPipelineSpec extends SparkSpecBase {
       assert(original((r.getString(0), r.getInt(1))) == r.getString(2))
     }
   }
+
+  test("IR-file streaming source: binary .gir streams feed the pipeline") {
+    val srcDir = Files.createTempDirectory("graft-ir-src").toString
+    val outDir = Files.createTempDirectory("graft-ir-out").toString
+    val ckpt = Files.createTempDirectory("graft-ir-ckpt").toString
+
+    // producer side: each conversation's turns serialized as one IR stream
+    val convs = (0L until 20L).map { c =>
+      val turns = (0 until 5).map(ix => TranscriptGen.turnAt(c, ix, seed = 13L))
+      val blob = graft.core.IrStream.serialize(turns.map(t =>
+        graft.core.IrStream.IrEvent(t.ts.getTime, graft.core.ClpEncoding.encode(t.text))))
+      Files.write(java.nio.file.Paths.get(srcDir, f"conv$c%04d.gir"), blob)
+      c -> turns
+    }.toMap
+
+    val engine = new StreamingPipeline(spark, outDir)
+    engine.start(StreamingPipeline.irFileSource(spark, srcDir), ckpt)
+      .processAllAvailable()
+
+    val routed = spark.read.parquet(s"$outDir/routed")
+    assert(routed.count() == 100)
+
+    // the wire format carried everything: texts round-trip byte-exactly
+    val lts = spark.read.parquet(s"$outDir/logtype_dict")
+    val inv = spark.read.parquet(s"$outDir/var_dict").as[(Long, String)].collect().toMap
+    val bcInv = spark.sparkContext.broadcast(inv)
+    val dictValsOf = udf((logtype: String, vars: Seq[Long]) => {
+      ClpPipeline.placeholderKinds(logtype).iterator.zip(vars.iterator)
+        .collect { case ('d', v) => bcInv.value(v) }.toSeq
+    })
+    val encValsOf = udf((logtype: String, vars: Seq[Long]) => {
+      ClpPipeline.placeholderKinds(logtype).iterator.zip(vars.iterator)
+        .collect { case (k, v) if k != 'd' => v }.toSeq
+    })
+    val decoded = routed.join(broadcast(lts), Seq("logtype_id"))
+      .withColumn("text", graft.functions.ClpFunctions.clp_decode(col("logtype"),
+        encValsOf(col("logtype"), col("vars")), dictValsOf(col("logtype"), col("vars"))))
+      .select("conv_id", "turn_idx", "text")
+    decoded.collect().foreach { r =>
+      val conv = r.getString(0).stripPrefix("conv").toLong
+      assert(convs(conv)(r.getInt(1)).text == r.getString(2))
+    }
+  }
 }
