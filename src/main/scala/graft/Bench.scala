@@ -24,8 +24,9 @@ object Bench {
     "q1_agg", "q2_filter_pushdown", "q3_join_broadcast", "q6_window_rank",
     "q8_tumbling_window", "q9_count_distinct", "q12_json_extract",
     "clp_roundtrip", "clp_roundtrip_props", "clp_int_vars",
-    "clp_wildcard_search", "dedup_exact",
-    "text_tokens", "text_fingerprint", "knn_bruteforce")
+    "clp_wildcard_search", "dedup_exact", "dedup_embedding",
+    "text_tokens", "text_fingerprint", "knn_bruteforce",
+    "ir_roundtrip", "multimodal_frames")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -235,14 +235,11 @@ object GraftQueries {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
-      val dot = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .withColumn("score", round(
-          dot(col("embedding"), col("q_emb")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) *
-             sqrt(dot(col("q_emb"), col("q_emb")))), 4))
+          vec_dot(col("embedding"), col("q_emb")) /
+            (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+             sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
         .select("vec_id", "score")
         .orderBy(desc("score"), asc("vec_id")).limit(5)
     }),
@@ -281,17 +278,17 @@ object GraftQueries {
       // Test-scale plan is a broadcast self-join (O(n^2) compare, no shuffle);
       // the 100 TB path buckets by SimHash-style hyperplane signs first
       // (see knn_lsh) and runs this same exact-cosine kernel per bucket.
-      val e = t(s, d, "embeddings").select("vec_id", "embedding")
-      val dot = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      // normalize each vector ONCE before the pair join — per-pair work is a
+      // single codegen'd vec_dot instead of three interpreted HOF folds (the
+      // only shape that survives an O(n^2)/per-bucket compare at scale)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+        .withColumn("norm", sqrt(vec_dot(col("emb"), col("emb"))))
+        .select(col("vec_id"), transform(col("emb"), x => x / col("norm")).as("emb"))
+      val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
       a.crossJoin(broadcast(b)).filter(col("a_id") < col("b_id"))
-        .withColumn("cos", round(
-          dot(col("a_emb"), col("b_emb")) /
-            (sqrt(dot(col("a_emb"), col("a_emb"))) *
-             sqrt(dot(col("b_emb"), col("b_emb")))), 4))
+        .withColumn("cos", round(vec_dot(col("a_emb"), col("b_emb")), 4))
         .filter(col("cos") >= 0.4)
         .select("a_id", "b_id", "cos").orderBy("a_id", "b_id")
     }),

@@ -71,6 +71,19 @@ object ClpRuntime {
     val ids = if (dictIds == null) Array.emptyLongArray else dictIds.toLongArray()
     new GenericArrayData(ClpEncoding.mergeVars(logtype.toString, enc, ids))
   }
+
+  def vecDot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
 }
 
 /** `clp_encode(text)` → struct<logtype, dict_vars, encoded_vars>: one-pass
@@ -199,6 +212,32 @@ case class TsPatternFormatExpr(left: Expression, right: Expression) extends Bina
   override def prettyName: String = "ts_pattern_format"
 }
 
+/** `vec_dot(a, b)` → double — tight-loop dot product over `array<float>` or
+  * `array<double>` embedding columns. The HOF route
+  * (`aggregate(zip_with(...))`) interprets a per-element expression tree;
+  * this stays a primitive loop inside whole-stage codegen, which is what a
+  * brute-force / per-bucket cosine compare needs at scale. */
+case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private lazy val leftFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val rightFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ClpRuntime.vecDot(a.asInstanceOf[ArrayData], leftFloat,
+      b.asInstanceOf[ArrayData], rightFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ClpRuntime.vecDot($a, $leftFloat, $b, $rightFloat)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotExpr =
+    copy(l, r)
+  override def prettyName: String = "vec_dot"
+}
+
 /** Registration + Column-API façade for the CLP expressions. */
 object ClpFunctions {
   def register(spark: SparkSession): Unit = {
@@ -211,6 +250,7 @@ object ClpFunctions {
     r.createOrReplaceTempFunction("clp_merge_vars", es => ClpMergeVarsExpr(es(0), es(1), es(2)), "built-in")
     r.createOrReplaceTempFunction("ts_pattern_parse", es => TsPatternParseExpr(es.head), "built-in")
     r.createOrReplaceTempFunction("ts_pattern_format", es => TsPatternFormatExpr(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_dot", es => VecDotExpr(es(0), es(1)), "built-in")
   }
 
   def clp_encode(text: Column): Column = call_function("clp_encode", text)
@@ -227,6 +267,7 @@ object ClpFunctions {
   def ts_pattern_parse(text: Column): Column = call_function("ts_pattern_parse", text)
   def ts_pattern_format(patternId: Column, epochMs: Column): Column =
     call_function("ts_pattern_format", patternId, epochMs)
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Grok/schema-mode encode; the schema is plan-time configuration, so this
     * builds the Expression directly rather than via the registry. */
