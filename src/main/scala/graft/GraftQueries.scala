@@ -244,6 +244,17 @@ object GraftQueries {
         .orderBy(desc("score"), asc("vec_id")).limit(5)
     }),
 
+    "kql_search" -> ((s, d) => {
+      // Q7/P9 end-to-end: KQL text -> lexer/parser -> AST -> Catalyst
+      // predicates (wildcard values via wildcard_match, NOT/OR/AND,
+      // numeric ranges) pushed into one scan
+      withClp(s)
+      graft.search.KqlCompiler.filter(t(s, d, "documents"),
+          """(lang: en OR lang: fr) AND NOT source: src3 AND n_chars >= 200 AND text: "*the*"""")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "ir_roundtrip" -> ((s, d) => {
       // S5 IR-stream source/sink: per-source event streams are CLP-encoded
       // and serialized to the tag-byte IR wire format (ts deltas,
@@ -588,6 +599,11 @@ object GraftQueries {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin,
+    "kql_search" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE (lang='en' OR lang='fr') AND NOT source='src3'
+        |  AND n_chars >= 200 AND text LIKE '%the%'
+        |ORDER BY doc_id""".stripMargin,
     "ir_roundtrip" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1",
     "dedup_embedding" ->
