@@ -49,8 +49,9 @@ object ClpRuntime {
   }
 
   def tsParse(text: UTF8String): InternalRow =
-    graft.core.TimestampPatterns.search(text.toString) match {
-      case Some((id, epoch, len)) => new GenericInternalRow(Array[Any](id, epoch, len))
+    graft.core.TimestampPatterns.searchFull(text.toString) match {
+      case Some(m) =>
+        new GenericInternalRow(Array[Any](m.patternId, m.epochMs, m.begin, m.end))
       case None => null
     }
 
@@ -175,8 +176,10 @@ case class ClpEncodeSchemaExpr(child: Expression, schema: graft.core.TokenizerSc
   override def prettyName: String = "clp_encode_schema"
 }
 
-/** `ts_pattern_parse(text)` → struct<pattern_id, epoch_ms, ts_len> or null —
-  * format-preserving timestamp search (SURVEY §2.2 P2). */
+/** `ts_pattern_parse(text)` → struct<pattern_id, epoch_ms, ts_begin, ts_end>
+  * or null — format-preserving timestamp search (SURVEY §2.2 P2); begin/end
+  * delimit the matched span (patterns may start after N spaces, mirroring the
+  * reference's num_spaces_before_ts). */
 case class TsPatternParseExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = TsPatternParseExpr.outputType
   override def nullable: Boolean = true
@@ -194,7 +197,8 @@ object TsPatternParseExpr {
   val outputType: StructType = StructType(Seq(
     StructField("pattern_id", IntegerType, nullable = false),
     StructField("epoch_ms", LongType, nullable = false),
-    StructField("ts_len", IntegerType, nullable = false)))
+    StructField("ts_begin", IntegerType, nullable = false),
+    StructField("ts_end", IntegerType, nullable = false)))
 }
 
 /** `ts_pattern_format(pattern_id, epoch_ms)` → the exact original string

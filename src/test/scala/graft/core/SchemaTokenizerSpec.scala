@@ -65,7 +65,12 @@ class TimestampPatternsSpec extends AnyFunSuite {
       "[2015-01-31 15:50:45,085]", "<<<2016-11-10 03:02:29:936",
       "01 Jan 2016 15:50:17,085", "2015-01-31T15:50:45",
       "2015-01-31 15:50:45", "2015/01/31 15:50:45",
-      "[20170106-16:56:41]", "15/01/31 15:50:45", "150131  9:50:45")
+      "[20170106-16:56:41]", "15/01/31 15:50:45", "150131  9:50:45",
+      "2015/01/31T15:50:45,123", "[2015-01-31T15:50:45",
+      "Jan 01, 2016  3:50:17 PM", "January 31, 2015 15:50",
+      "Thu Jan  1 15:50:45 2015", // weekday re-derived from the date on format
+      "Jan 21 11:56:42", "01-21 11:56:42.392", // year-less (imprecise) patterns
+      "916321") // relative timestamp in ms (%#3)
     samples.foreach { s =>
       val got = search(s)
       assert(got.isDefined, s"no pattern matched '$s'")
@@ -75,10 +80,33 @@ class TimestampPatternsSpec extends AnyFunSuite {
     }
   }
 
-  test("parse rejects malformed inputs") {
+  test("mid-line timestamps (spaces-before prefixes) round-trip their span") {
+    val samples = Seq(
+      "INFO [main] 2015-01-31 15:50:45,085 starting service",
+      "Start-Date: 2015-01-31  15:50:45",
+      "E [31/Jan/2015:15:50:45 +0000]",
+      "localhost - - [01/Jan/2016:15:50:17 +0000]",
+      "192.168.4.5 - - [01/01/2016:15:50:17 +0000]",
+      "Started POST \"/api/v3/allowed\" for 127.0.0.1 at 2017-06-18 00:20:44",
+      "update-alternatives 2015-01-31 15:50:45",
+      "ERROR: apport (pid 4557) Thu Jan  1 15:50:45 2015")
+    samples.foreach { s =>
+      val m = searchFull(s)
+      assert(m.isDefined, s"no pattern matched '$s'")
+      val TsMatch(id, epoch, begin, end) = m.get
+      assert(begin > 0, s"expected mid-line match for '$s'")
+      assert(format(id, epoch) == s.substring(begin, end), s"span round-trip failed for '$s'")
+    }
+  }
+
+  test("parse rejects malformed inputs (modulo the reference's relative-ts fallback)") {
     assert(search("not a timestamp").isEmpty)
-    assert(search("2015-13-31 15:50:45").isEmpty) // month 13
-    assert(search("2015-01-31 25:50:45").isEmpty) // hour 25
+    // digit-leading lines fall through to %#3 (relative ms) exactly like the
+    // reference's imprecise catch-all — the span is just the leading digits
+    val Some(m13) = searchFull("2015-13-31 15:50:45") // month 13: no date pattern
+    assert(Patterns(m13.patternId).fmt == "%#3" && m13.end == 4 && m13.epochMs == 2015L)
+    val Some(h25) = searchFull("2015-01-31 25:50:45") // hour 25: no date pattern
+    assert(Patterns(h25.patternId).fmt == "%#3" && h25.end == 4)
   }
 
   test("epoch math agrees with java.time") {

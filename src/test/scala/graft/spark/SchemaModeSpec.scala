@@ -52,12 +52,14 @@ class SchemaModeSpec extends SparkSpecBase {
       "2015-01-31T15:50:45.392 rest of line",
       "[20170106-16:56:41] boot",
       "01 Jan 2016 15:50:17,085 gc start",
+      "INFO [main] 2015-01-31 15:50:45,085 starting", // mid-line ts (2 spaces before)
       "no timestamp at all").toDF("line")
       .withColumn("p", ts_pattern_parse(col("line")))
     assert(df.filter(col("p").isNull).count() == 1)
     val rt = df.filter(col("p").isNotNull)
       .withColumn("rendered", ts_pattern_format(col("p.pattern_id"), col("p.epoch_ms")))
-      .withColumn("original_prefix", expr("substring(line, 1, p.ts_len)"))
-    assert(rt.filter(col("rendered") =!= col("original_prefix")).count() == 0)
+      .withColumn("original_span",
+        expr("substring(line, p.ts_begin + 1, p.ts_end - p.ts_begin)"))
+    assert(rt.filter(col("rendered") =!= col("original_span")).count() == 0)
   }
 }
