@@ -120,4 +120,17 @@ class ClpSearchSpec extends SparkSpecBase {
     val allSinks = engine.routed.select("sink_id").distinct().count()
     assert(sinks.size.toLong < allSinks, "expected sink pruning to cut the scan")
   }
+
+  test("extract (clp x): full archive reconstructs every turn byte-exactly in order (O3)") {
+    engine // force pipeline build
+    val extracted = graft.search.Extract(spark, outDir)
+      .select("conv_id", "turn_idx", "text").collect()
+    val original = turns.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(extracted.length == original.size)
+    // stable (conv_id, turn_idx) global order + byte equality
+    val keys = extracted.map(r => (r.getString(0), r.getInt(1)))
+    assert(keys.sameElements(keys.sorted))
+    extracted.foreach(r => assert(original((r.getString(0), r.getInt(1))) == r.getString(2)))
+  }
 }

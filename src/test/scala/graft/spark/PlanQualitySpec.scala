@@ -51,6 +51,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("clp_encode") || p.contains("clp_decode"))
   }
 
+  test("knn: vec_dot scoring runs inside whole-stage codegen") {
+    val p = executedPlan(graft.GraftQueries.queries("knn_bruteforce")(spark, sf))
+    assert(p.contains("vec_dot"))
+    assert(p.contains("[codegen id :"))
+  }
+
   test("search candidates prune with partition filter on sink_id") {
     val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val turns = graft.pipeline.TranscriptGen.turns(spark, 1500, seed = 5L).toDF
