@@ -32,10 +32,15 @@ object GraftQueries {
   private def mdHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 3-gram word shingles (1-based element_at matches DuckDB list indexing). */
+  /** 3-gram word shingles (1-based element_at matches DuckDB list indexing).
+    * Guarded for <3 tokens: sequence(1, 0) would auto-step -1 in Spark while
+    * DuckDB's generate_series yields an empty list — match the empty-series
+    * semantics (and avoid element_at index errors). */
   private def shingles(words: Column): Column =
-    transform(sequence(lit(1), size(words) - 2), i =>
-      concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))
+    when(size(words) >= 3,
+      transform(sequence(lit(1), size(words) - 2), i =>
+        concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(array().cast("array<string>"))
 
   private val MinhashFns: Seq[(Int, Int)] = Seq((7, 3), (11, 5), (13, 17), (19, 23))
   private val MinhashMod = 1000033L

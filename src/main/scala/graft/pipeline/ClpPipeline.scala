@@ -39,7 +39,16 @@ object ClpPipeline {
       filesPerSink: Int = 8,
       resume: Boolean = false,
       /** grok/regex schema mode (P6); None = CLP heuristic tokenizer. */
-      tokenizerSchema: Option[graft.core.TokenizerSchema] = None)
+      tokenizerSchema: Option[graft.core.TokenizerSchema] = None,
+      /** Dictionaries at or below this cardinality resolve through a
+        * driver-built broadcast map (the CLP memory-resident-dict shape);
+        * above it every dict touch is distributed (hot-head broadcast +
+        * shuffle-join tail) and nothing dict-sized ever lands on the driver. */
+      driverDictThreshold: Long = DriverDictThreshold,
+      /** Distributed mode only: the N hottest dictionary entries (by count)
+        * broadcast-joined before the shuffle-join tail — the Zipf head that
+        * covers most row-side references without shuffling them. */
+      hotHeadSize: Int = 100000)
 
   final case class Result(
       turnsIn: Long,
@@ -81,7 +90,8 @@ object ClpPipeline {
    * [[DriverDictThreshold]] the distributed dense-rank path (sort +
    * zipWithIndex partition offsets) takes over.
    */
-  def buildDict(values: DataFrame, valueCol: String, idCol: String, saltParts: Int): DataFrame = {
+  def buildDict(values: DataFrame, valueCol: String, idCol: String, saltParts: Int,
+                driverDictThreshold: Long = DriverDictThreshold): DataFrame = {
     val spark = values.sparkSession
     import spark.implicits._
     val counts = values
@@ -89,22 +99,32 @@ object ClpPipeline {
       .groupBy(col("_salt"), col(valueCol)).agg(count(lit(1)).as("cnt"))
       .groupBy(col(valueCol)).agg(sum(col("cnt")).as("cnt"))
       .select(col(valueCol), col("cnt")).as[(String, Long)]
-    val localOrNull =
-      try counts.collect() // typical CLP dict: well under DriverDictThreshold
-      catch { case _: OutOfMemoryError => null }
-    if (localOrNull != null && localOrNull.length <= DriverDictThreshold) {
-      val sorted = localOrNull.sortBy(_._1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the path is chosen from a cheap cardinality count BEFORE anything is
+    // collected — never by surviving a driver OOM
+    val n = counts.count()
+    if (n <= driverDictThreshold) {
+      val local = counts.collect()
+      counts.unpersist()
+      val sorted = local.sortBy(_._1)
       spark.createDataFrame(
         spark.sparkContext.parallelize(
           sorted.iterator.zipWithIndex.map { case ((v, c), ix) => Row(ix.toLong, v, c) }.toSeq,
           math.max(1, sorted.length / 500000 + 1)),
         dictSchema(idCol, valueCol))
     } else {
+      // distributed dense IDs: range-partitioned sort by value (deterministic
+      // under any parallelism) + zipWithIndex partition offsets; materialized
+      // before unpersisting the aggregated counts so the sort runs exactly once
       val sorted = counts.toDF(valueCol, "cnt").orderBy(valueCol)
       val withIds = sorted.rdd.zipWithIndex.map { case (r, ix) =>
         Row(ix, r.getString(0), r.getLong(1))
       }
-      spark.createDataFrame(withIds, dictSchema(idCol, valueCol))
+      val dict = spark.createDataFrame(withIds, dictSchema(idCol, valueCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dict.count()
+      counts.unpersist()
+      dict
     }
   }
 
@@ -117,7 +137,8 @@ object ClpPipeline {
     * hottest templates get dedicated sinks (1..), the long tail shares the
     * combined sink 0 — the reference's combined-table threshold idea. */
   def buildLogtypeDict(parsed: DataFrame, cfg: Config): DataFrame = {
-    val dict = buildDict(parsed.select(col("logtype")), "logtype", "logtype_id", cfg.saltParts)
+    val dict = buildDict(parsed.select(col("logtype")), "logtype", "logtype_id",
+      cfg.saltParts, cfg.driverDictThreshold)
     val top = dict.orderBy(desc("cnt"), asc("logtype")).limit(cfg.maxSinks - 1)
       .select("logtype_id").collect().map(_.getLong(0))
     val spark = parsed.sparkSession
@@ -129,7 +150,8 @@ object ClpPipeline {
   }
 
   def buildVarDict(parsed: DataFrame, cfg: Config): DataFrame =
-    buildDict(parsed.select(explode(col("dict_vars")).as("value")), "value", "var_id", cfg.saltParts)
+    buildDict(parsed.select(explode(col("dict_vars")).as("value")), "value", "var_id",
+      cfg.saltParts, cfg.driverDictThreshold)
 
   /**
    * Stage 3+4 plan: resolve logtype → (logtype_id, sink_id) via broadcast join,
@@ -138,12 +160,23 @@ object ClpPipeline {
    * broadcast-join the (role, tool) enrichment.
    */
   def encodeAndEnrich(parsed: DataFrame, logtypeDict: DataFrame, varDict: DataFrame,
-                      lookup: DataFrame): DataFrame = {
+                      lookup: DataFrame, cfg: Config = Config("")): DataFrame = {
+    val nDict = math.max(logtypeDict.count(), varDict.count())
+    if (nDict <= cfg.driverDictThreshold)
+      encodeAndEnrichBroadcast(parsed, logtypeDict, varDict, lookup)
+    else
+      encodeAndEnrichDistributed(parsed, logtypeDict, varDict, lookup, cfg)
+  }
+
+  /** Driver-map mode — CLP keeps both dictionaries memory-resident
+    * (streaming_archive/writer/Archive.cpp bounds them via
+    * target_data_size_of_dicts); under [[Config.driverDictThreshold]] the
+    * broadcast maps mirror that: one fused per-row function resolves
+    * logtype → (id, sink), maps dict vars to global IDs, and splices the
+    * merged CLP-order var stream — a single pass, no dictionary shuffle. */
+  private def encodeAndEnrichBroadcast(parsed: DataFrame, logtypeDict: DataFrame,
+                                       varDict: DataFrame, lookup: DataFrame): DataFrame = {
     val spark = parsed.sparkSession
-    // CLP keeps both dictionaries memory-resident; the broadcast maps mirror
-    // that. One fused per-row function resolves logtype → (id, sink), maps
-    // dict vars to global IDs, and splices the merged CLP-order var stream —
-    // a single pass, no join shuffle for the dictionary side.
     val ltMap: Map[String, (Long, Int)] =
       logtypeDict.select("logtype", "logtype_id", "sink_id").collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
@@ -159,17 +192,85 @@ object ClpPipeline {
       while (i < ids.length) { ids(i) = vm(dictVars(i)); i += 1 }
       (ltId, sink, graft.core.ClpEncoding.mergeVars(logtype, encodedVars.toArray, ids))
     })
+    parsed
+      .withColumn("e", resolve(col("logtype"), col("dict_vars"), col("encoded_vars")))
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
+        col("n_bytes"),
+        col("e._1").as("logtype_id"), col("e._2").as("sink_id"), col("e._3").as("vars"),
+        col("dict_vars"), col("encoded_vars"), col("logtype"))
+      .transform(enrich(lookup))
+  }
+
+  /**
+   * Distributed mode — nothing dictionary-sized ever lands on the driver:
+   *
+   *   1. logtype resolution: narrow (conv_id, turn_idx, logtype) projection
+   *      shuffle-joined with the logtype dict (AQE skew-join splits the hot
+   *      templates)
+   *   2. var-ID resolution: posexplode dict_vars → hot-head broadcast join
+   *      (top [[Config.hotHeadSize]] entries by count — the Zipf head that
+   *      resolves most references without a shuffle) → shuffle-join the
+   *      misses against the full dict → regroup to the per-row ID array by
+   *      position
+   *   3. ONE wide join of the original rows against the narrow resolution
+   *      key — the only shuffle that moves full rows
+   *
+   * This is the per-archive-unbounded twin of the reference's dictionary
+   * design: CLP bounds dicts per archive to stay memory-resident; at
+   * 10^8-10^9 distinct variables (UUIDs/IPs) no single map fits anywhere,
+   * so resolution itself becomes a join.
+   */
+  private def encodeAndEnrichDistributed(parsed: DataFrame, logtypeDict: DataFrame,
+                                         varDict: DataFrame, lookup: DataFrame,
+                                         cfg: Config): DataFrame = {
+    val key = Seq("conv_id", "turn_idx")
+    val ltResolved = parsed.select(col("conv_id"), col("turn_idx"), col("logtype"))
+      .join(logtypeDict.select("logtype", "logtype_id", "sink_id"), Seq("logtype"))
+      .drop("logtype")
+
+    val exploded = parsed
+      .select(col("conv_id"), col("turn_idx"), posexplode(col("dict_vars")).as(Seq("pos", "value")))
+    val hot = varDict.orderBy(desc("cnt"), asc("value")).limit(math.max(cfg.hotHeadSize, 0))
+      .select(col("value"), col("var_id").as("hot_id"))
+    val hotJoined = exploded.join(broadcast(hot), Seq("value"), "left")
+    val hits = hotJoined.filter(col("hot_id").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("hot_id").as("var_id"))
+    val misses = hotJoined.filter(col("hot_id").isNull)
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("value"))
+      .join(varDict.select("value", "var_id"), Seq("value"))
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("var_id"))
+    val varIds = hits.unionByName(misses)
+      .groupBy(key.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("pos"), col("var_id")))).as("pv"))
+      .select(col("conv_id"), col("turn_idx"),
+        transform(col("pv"), p => p.getField("var_id")).as("dict_var_ids"))
+
+    val resolved = ltResolved.join(varIds, key, "left")
+    val mergeUdf = udf((logtype: String, encodedVars: Seq[Long], ids: Seq[Long]) =>
+      graft.core.ClpEncoding.mergeVars(logtype, encodedVars.toArray,
+        if (ids == null) Array.emptyLongArray else ids.toArray))
+    parsed.join(resolved, key) // the single wide shuffle
+      .withColumn("vars", mergeUdf(col("logtype"), col("encoded_vars"), col("dict_var_ids")))
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
+        col("n_bytes"), col("logtype_id"), col("sink_id"), col("vars"),
+        col("dict_vars"), col("encoded_vars"), col("logtype"))
+      .transform(enrich(lookup))
+  }
+
+  /** J4 enrichment: broadcast (role, tool) lookup join, shared by both modes. */
+  private def enrich(lookup: DataFrame)(resolved: DataFrame): DataFrame = {
     val lkp = lookup
       .withColumn("tool_key", coalesce(col("tool"), lit("")))
       .drop("tool")
-    parsed
-      .withColumn("e", resolve(col("logtype"), col("dict_vars"), col("encoded_vars")))
+    resolved
       .withColumn("tool_key", coalesce(col("tool"), lit("")))
       .join(broadcast(lkp), Seq("role", "tool_key"), "left") // J4 enrichment join
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("team"), col("cost_class"), col("n_bytes"),
-        col("e._1").as("logtype_id"), col("e._2").as("sink_id"), col("e._3").as("vars"))
+        col("logtype_id"), col("sink_id"), col("vars"))
   }
 
   /** Stage 5: fan-out write. Partitioning is (sink_id, hash(conv_id) % filesPerSink)
@@ -246,7 +347,7 @@ object ClpPipeline {
     if (!routeDone) {
       val t0 = System.nanoTime()
       val encoded = encodeAndEnrich(parsed, logtypeDict, varDict,
-        TranscriptGen.roleToolLookup(spark))
+        TranscriptGen.roleToolLookup(spark), cfg)
       route(encoded, cfg)
       lineage.complete("route", Map("input_rows" -> turnsIn,
         "duration_ms" -> (System.nanoTime() - t0) / 1000000))
@@ -290,28 +391,11 @@ object ClpPipeline {
    * dictionaries only, join the original turns on the stable key, and return
    * rows whose decode is NOT byte-identical (must be empty).
    */
-  def roundTripViolations(spark: SparkSession, turns: DataFrame, outDir: String): DataFrame = {
-    val routed = spark.read.parquet(s"$outDir/routed")
-    val logtypeDict = spark.read.parquet(s"$outDir/logtype_dict")
-    val varDict = spark.read.parquet(s"$outDir/var_dict")
-    val inv: Map[Long, String] = varDict.select("var_id", "value").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val bcInv = spark.sparkContext.broadcast(inv)
-    // split merged vars back into (encoded int/float stream, dict-value stream)
-    // using the logtype's placeholder kinds
-    val dictValsOf = udf((logtype: String, vars: Seq[Long]) => {
-      val kinds = placeholderKinds(logtype)
-      kinds.iterator.zip(vars.iterator).collect { case ('d', v) => bcInv.value(v) }.toSeq
-    })
-    val encValsOf = udf((logtype: String, vars: Seq[Long]) => {
-      val kinds = placeholderKinds(logtype)
-      kinds.iterator.zip(vars.iterator).collect { case (k, v) if k != 'd' => v }.toSeq
-    })
-    routed
-      .join(broadcast(logtypeDict.select("logtype_id", "logtype")), Seq("logtype_id"))
-      .withColumn("decoded", clp_decode(col("logtype"),
-        encValsOf(col("logtype"), col("vars")),
-        dictValsOf(col("logtype"), col("vars"))))
+  def roundTripViolations(spark: SparkSession, turns: DataFrame, outDir: String,
+                          driverDictThreshold: Long = DriverDictThreshold): DataFrame = {
+    val engine = new graft.search.ClpSearch(spark, outDir, driverDictThreshold)
+    engine.withDecodedText(spark.read.parquet(s"$outDir/routed"))
+      .withColumnRenamed("text", "decoded")
       .join(turns.select(col("conv_id"), col("turn_idx"), col("text")), Seq("conv_id", "turn_idx"))
       .filter(col("decoded") =!= col("text"))
       .select("conv_id", "turn_idx", "text", "decoded")

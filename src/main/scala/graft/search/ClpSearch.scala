@@ -14,23 +14,37 @@ import graft.pipeline.ClpPipeline
  * candidate rows → final wildcard verify iff the subquery is imprecise →
  * limit / top-k / count / count-by-time.
  */
-final class ClpSearch(spark: SparkSession, outDir: String) {
+final class ClpSearch(spark: SparkSession, outDir: String,
+                      driverDictThreshold: Long = ClpPipeline.DriverDictThreshold,
+                      hotHeadSize: Int = 100000) {
 
   lazy val routed: DataFrame = spark.read.parquet(s"$outDir/routed")
+  private lazy val varDictDf: DataFrame = spark.read.parquet(s"$outDir/var_dict")
+  private lazy val logtypeDictFullDf: DataFrame = spark.read.parquet(s"$outDir/logtype_dict")
+  private lazy val logtypeDictDf: DataFrame = logtypeDictFullDf.select("logtype_id", "logtype")
+
+  /** Driver-map mode iff both dicts fit under the threshold — the same gate
+    * as the pipeline's [[ClpPipeline.Config.driverDictThreshold]]; above it
+    * every dictionary touch (probe, scan, decode) runs as a Spark job and
+    * nothing dict-sized is ever collected. Parquet counts are metadata-cheap. */
+  private lazy val useDriverMaps: Boolean =
+    math.max(varDictDf.count(), logtypeDictFullDf.count()) <= driverDictThreshold
+
   private lazy val logtypeDict: Array[(Long, String, Int)] =
-    spark.read.parquet(s"$outDir/logtype_dict")
+    logtypeDictFullDf
       .select("logtype_id", "logtype", "sink_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
   private lazy val varDict: Map[String, Long] =
-    spark.read.parquet(s"$outDir/var_dict").select("value", "var_id").collect()
+    varDictDf.select("value", "var_id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   private lazy val varDictInv: Map[Long, String] = varDict.map(_.swap)
 
-  private lazy val logtypeDictDf: DataFrame =
-    spark.read.parquet(s"$outDir/logtype_dict").select("logtype_id", "logtype")
-
   /** Adds a byte-exact `text` column decoded from the dictionaries only. */
-  def withDecodedText(rows: DataFrame): DataFrame = {
+  def withDecodedText(rows: DataFrame): DataFrame =
+    if (useDriverMaps) withDecodedTextBroadcast(rows)
+    else withDecodedTextDistributed(rows)
+
+  private def withDecodedTextBroadcast(rows: DataFrame): DataFrame = {
     val bcInv = spark.sparkContext.broadcast(varDictInv)
     val dictValsOf = udf((logtype: String, vars: Seq[Long]) => {
       val kinds = ClpPipeline.placeholderKinds(logtype)
@@ -48,23 +62,112 @@ final class ClpSearch(spark: SparkSession, outDir: String) {
       .drop("logtype")
   }
 
+  /** Distributed decode (J3 as a real join): posexplode the var stream,
+    * resolve dictionary positions through a hot-head broadcast + shuffle-join
+    * tail against the inverse var dict, regroup by position, decode. The only
+    * wide shuffle is the final join back on the stable (conv_id, turn_idx)
+    * key. Mirrors [[ClpPipeline]]'s distributed encode mode. */
+  private def withDecodedTextDistributed(rows: DataFrame): DataFrame = {
+    val key = Seq("conv_id", "turn_idx")
+    val kindsOf = udf((lt: String) => new String(ClpPipeline.placeholderKinds(lt)))
+    val withLt = rows
+      .join(logtypeDictDf, Seq("logtype_id"))
+      .withColumn("kinds", kindsOf(col("logtype")))
+    val ex = withLt
+      .select(col("conv_id"), col("turn_idx"), col("kinds"),
+        posexplode(col("vars")).as(Seq("pos", "v")))
+      .filter(substring(col("kinds"), col("pos") + 1, lit(1)) === "d")
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("v").as("var_id"))
+    val hot = varDictDf.orderBy(desc("cnt"), asc("value")).limit(math.max(hotHeadSize, 0))
+      .select(col("var_id"), col("value").as("hot_value"))
+    val hotJoined = ex.join(broadcast(hot), Seq("var_id"), "left")
+    val hits = hotJoined.filter(col("hot_value").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("hot_value").as("value"))
+    val misses = hotJoined.filter(col("hot_value").isNull)
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("var_id"))
+      .join(varDictDf.select("var_id", "value"), Seq("var_id"))
+      .select(col("conv_id"), col("turn_idx"), col("pos"), col("value"))
+    val dictVals = hits.unionByName(misses)
+      .groupBy(key.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("pos"), col("value")))).as("pv"))
+      .select(col("conv_id"), col("turn_idx"),
+        transform(col("pv"), p => p.getField("value")).as("dict_vals"))
+    val encValsOf = udf((kinds: String, vars: Seq[Long]) =>
+      kinds.iterator.zip(vars.iterator).collect { case (k, v) if k != 'd' => v }.toSeq)
+    withLt.join(dictVals, key, "left") // the single wide shuffle
+      .withColumn("text", clp_decode(col("logtype"),
+        encValsOf(col("kinds"), col("vars")),
+        coalesce(col("dict_vals"), array().cast("array<string>"))))
+      .drop("logtype", "kinds", "dict_vals")
+  }
+
   /** Wildcard probe of the var dictionary (Q4) — driver-resident like the
-    * reference's in-memory dicts. */
+    * reference's in-memory dicts under the threshold, a filter job above it. */
   private def varDictScan(pattern: String, caseSensitive: Boolean): Seq[Long] =
-    varDict.iterator.collect {
-      case (value, id) if Wildcard.matches(value, pattern, caseSensitive) => id
-    }.toSeq
+    if (useDriverMaps)
+      varDict.iterator.collect {
+        case (value, id) if Wildcard.matches(value, pattern, caseSensitive) => id
+      }.toSeq
+    else
+      varDictDf
+        .filter(wildcard_match(col("value"), lit(pattern), lit(caseSensitive)))
+        .select("var_id").collect().map(_.getLong(0)).toSeq
+
+  /** Exact probe of the var dictionary (Q3). */
+  private def varDictLookup(token: String): Option[Long] =
+    if (useDriverMaps) varDict.get(token)
+    else varDictDf.filter(col("value") === lit(token))
+      .select("var_id").collect().headOption.map(_.getLong(0))
+
+  /** Wildcard scan of the logtype dictionary (Q5) → (logtype_id, sink_id). */
+  private def logtypeScan(pattern: String, caseSensitive: Boolean): Array[(Long, Int)] =
+    if (useDriverMaps)
+      logtypeDict.collect {
+        case (id, lt, sink) if Wildcard.matches(lt, pattern, caseSensitive) => (id, sink)
+      }
+    else
+      logtypeDictFullDf
+        .filter(wildcard_match(col("logtype"), lit(pattern), lit(caseSensitive)))
+        .select("logtype_id", "sink_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+
+  /** Per-sink [min_ts, max_ts] from the archive's stats table — the
+    * timestamp index the reference consults to answer "no match" without
+    * touching data (clp_s/search/EvaluateTimestampIndex.cpp:1-130,
+    * TimestampEntry.hpp:92-93). One tiny row per sink; None when the archive
+    * carries no stats (e.g. a streaming append dir). */
+  private lazy val sinkTsBounds: Option[Array[(Int, java.sql.Timestamp, java.sql.Timestamp)]] =
+    try Some(spark.read.parquet(s"$outDir/sink_stats")
+      .select("sink_id", "min_ts", "max_ts").collect()
+      .map(r => (r.getAs[Number]("sink_id").intValue, r.getTimestamp(1), r.getTimestamp(2))))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Sinks whose ts range overlaps [tsLo, tsHi]; None = no index / no bound. */
+  private def tsAdmissibleSinks(tsLo: Option[java.sql.Timestamp],
+                                tsHi: Option[java.sql.Timestamp]): Option[Set[Int]] =
+    if (tsLo.isEmpty && tsHi.isEmpty) None
+    else sinkTsBounds.map(_.collect {
+      case (sid, mn, mx)
+          if tsLo.forall(lo => !mx.before(lo)) && tsHi.forall(hi => !mn.after(hi)) => sid
+    }.toSet)
 
   /** Core: candidate rows for a query, in the encoded domain; `None` when the
-    * dictionaries prove no row can match (WontMatch short-circuit). */
+    * dictionaries (or the timestamp index) prove no row can match
+    * (WontMatch short-circuit). */
   def candidates(query: String, caseSensitive: Boolean = true,
                  tsLo: Option[java.sql.Timestamp] = None,
                  tsHi: Option[java.sql.Timestamp] = None): Option[(DataFrame, Boolean)] = {
-    WildcardQueryCompiler.compile(query, varDict.get(_),
+    // R3 timestamp-index pruning first: an out-of-range query never compiles
+    // a scan at all
+    val admissible = tsAdmissibleSinks(tsLo, tsHi)
+    if (admissible.exists(_.isEmpty)) return None
+    WildcardQueryCompiler.compile(query, varDictLookup(_),
         varDictScan(_, caseSensitive), caseSensitive) match {
       case WildcardQueryCompiler.WontMatch => None
       case WildcardQueryCompiler.Plan(c) =>
         var df = routed
+        admissible.foreach(s =>
+          df = df.filter(col("sink_id").isin(s.toSeq.map(_.asInstanceOf[Any]): _*)))
         tsLo.foreach(lo => df = df.filter(col("ts") >= lit(lo)))
         tsHi.foreach(hi => df = df.filter(col("ts") <= lit(hi)))
         if (c.matchAll) return Some((df, false))
@@ -72,9 +175,7 @@ final class ClpSearch(spark: SparkSession, outDir: String) {
         // set, then encoded-domain var constraints (R12: no decode yet); the
         // query is the OR of its subqueries, evaluated in one scan (J1)
         val compiled = c.subplans.flatMap { sp =>
-          val matched = logtypeDict.filter { case (_, lt, _) =>
-            Wildcard.matches(lt, sp.logtypePattern, caseSensitive)
-          }
+          val matched = logtypeScan(sp.logtypePattern, caseSensitive)
           if (matched.isEmpty) None
           else {
             var cond = col("logtype_id").isin(matched.map(_._1.asInstanceOf[Any]): _*)
@@ -83,11 +184,14 @@ final class ClpSearch(spark: SparkSession, outDir: String) {
             sp.anyOfVarSets.foreach { ids =>
               cond = cond && arrays_overlap(col("vars"), typedLit(ids))
             }
-            Some((cond, matched.map(_._3)))
+            Some((cond, matched.map(_._2).toSeq))
           }
         }
         if (compiled.isEmpty) return None
+        // J2 segment-set intersection: dictionary-derived sinks ∩ ts-admissible
         val sinks = compiled.flatMap(_._2).distinct
+          .filter(s => admissible.forall(_.contains(s)))
+        if (sinks.isEmpty) return None
         // partition pruning on sink_id, then the subquery disjunction
         df = df.filter(col("sink_id").isin(sinks.map(_.asInstanceOf[Any]): _*))
           .filter(compiled.map(_._1).reduce(_ || _))

@@ -98,7 +98,11 @@ object KqlCompiler {
   def compile(expr: Kql.Expr, schema: StructType): Column = expr match {
     case Kql.And(l, r) => compile(l, schema) && compile(r, schema)
     case Kql.Or(l, r) => compile(l, schema) || compile(r, schema)
-    case Kql.Not(e) => !compile(e, schema)
+    // KQL NOT matches every record the inner filter does NOT match,
+    // including records where the column is missing/NULL — under SQL
+    // three-valued logic a bare !pred would drop NULL rows, so the inner
+    // predicate is null-coalesced to false first.
+    case Kql.Not(e) => !coalesce(compile(e, schema), lit(false))
     case Kql.Filter(pattern, op, value, isDate) =>
       val matched = leaves(schema).filter { case (p, _) => pathMatches(pattern, p) }
       val preds = matched.flatMap { case (p, dt) => leafPredicate(p, dt, op, value, isDate) }

@@ -147,6 +147,16 @@ object WildcardQueryCompiler {
       out += Interp(lead + ClpEncoding.IntPlaceholder + trail, None)
       out += Interp(lead + ClpEncoding.FloatPlaceholder + trail, None)
     }
+    // (d) loose fallback for interior wildcards: a greedy mid-token '*' (or
+    // any '?', which can match a delimiter) lets the literal pieces span
+    // MULTIPLE message tokens, so none of the precise single-token
+    // interpretations above is sound as the only option — the reference
+    // falls back to '*' and marks wildcard_match_required
+    // (components/core/src/clp/GrepCore.hpp:379-390). verifyText is already
+    // forced true for any wildcarded token, so the final decoded-text
+    // wildcard match removes the false positives this admits.
+    val inner = tok.dropWhile(_ == '*').reverse.dropWhile(_ == '*').reverse
+    if (inner.exists(isWild)) out += Interp("*", None)
     out.toSeq
   }
 

@@ -20,9 +20,19 @@ import graft.pipeline.{ClpPipeline, TranscriptGen}
  */
 final class StreamingPipeline(spark: SparkSession, outDir: String) {
 
-  /** Merges a micro-batch of turns; returns rows appended. */
+  /** Merges a micro-batch of turns; returns rows appended.
+    *
+    * Idempotent under foreachBatch's at-least-once replay: a committed batch
+    * leaves a `_batches/<id>` marker (written only after the routed append
+    * succeeds), and a replayed id returns early instead of appending
+    * duplicates — the micro-batch twin of the batch pipeline's per-stage
+    * lineage manifests. A crash between append and marker replays the batch;
+    * the dict merge is monotone so the re-derived dictionaries are identical,
+    * and readers can still fence exactly-once on (batch_id ∈ committed). */
   def processBatch(turns: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
+    val marker = new java.io.File(s"$outDir/_batches/$batchId")
+    if (marker.exists()) return
     val parsed = ClpPipeline.parse(turns)
       // a batch is small: localCheckpoint would pin executors in streaming;
       // just materialize via cache for the two passes below
@@ -71,6 +81,7 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
         col("e._3").as("vars"), lit(batchId).as("batch_id"))
       .write.mode("append").partitionBy("sink_id").parquet(s"$outDir/routed")
     parsed.unpersist()
+    marker.mkdirs()
   }
 
   /** Wires a streaming source of turns into the pipeline. */

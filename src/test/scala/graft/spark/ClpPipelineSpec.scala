@@ -71,6 +71,36 @@ class ClpPipelineSpec extends SparkSpecBase {
     assert(routed.filter(col("team").isNull).count() == 0)
   }
 
+  test("fully distributed dictionary path (driverDictThreshold=0) reproduces the broadcast archive") {
+    result // force the broadcast-path run first
+    val out2 = Files.createTempDirectory("graft-pipe-dist").toString
+    // threshold 0 forces count-gated distributed ID assignment, the hot-head
+    // (3 entries) + shuffle-join-tail resolution, and distributed decode —
+    // the end-to-end no-driver-map mode
+    val res2 = ClpPipeline.run(spark, turns,
+      cfg.copy(outDir = out2, driverDictThreshold = 0L, hotHeadSize = 3))
+    assert(res2.rowsRouted == result.turnsIn)
+    assert(res2.nVars == result.nVars && res2.nLogtypes == result.nLogtypes)
+    // dictionaries identical to the driver-path build (rank-by-value IDs are
+    // path- and parallelism-invariant)
+    def dict(dir: String, name: String, idc: String, vc: String) =
+      spark.read.parquet(s"$dir/$name").select(idc, vc).orderBy(idc)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dict(out2, "var_dict", "var_id", "value") ==
+      dict(outDir, "var_dict", "var_id", "value"))
+    assert(dict(out2, "logtype_dict", "logtype_id", "logtype") ==
+      dict(outDir, "logtype_dict", "logtype_id", "logtype"))
+    // routed rows identical
+    def routedSet(dir: String) = spark.read.parquet(s"$dir/routed")
+      .select("conv_id", "turn_idx", "logtype_id", "sink_id", "vars").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getAs[Number]("sink_id").intValue, r.getSeq[Long](4).mkString(","))).toSet
+    assert(routedSet(out2) == routedSet(outDir))
+    // byte-exact decode through the distributed (no-driver-map) decode join
+    assert(ClpPipeline.roundTripViolations(spark, turns, out2,
+      driverDictThreshold = 0L).count() == 0)
+  }
+
   test("partition lineage covers all routed rows") {
     result // force
     val lin = spark.read.parquet(s"$outDir/lineage_partitions")

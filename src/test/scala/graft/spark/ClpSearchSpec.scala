@@ -83,6 +83,46 @@ class ClpSearchSpec extends SparkSpecBase {
     check("*task_* assigned*")
   }
 
+  test("greedy mid-token * spanning multiple message tokens (loose fallback, no false negatives)") {
+    // literal pieces of one query token land in DIFFERENT message tokens —
+    // the reference's '*'-fallback case (GrepCore.hpp:379-390)
+    import spark.implicits._
+    val miniOut = Files.createTempDirectory("graft-midtok").toString
+    val ts0 = new java.sql.Timestamp(1704067200000L)
+    val mini = Seq(
+      graft.pipeline.Turn("c0", 0, "user", "pyspark3 windowing works", "t", ts0),
+      graft.pipeline.Turn("c0", 1, "user", "a1 b2", "t", ts0),
+      graft.pipeline.Turn("c0", 2, "user", "plain text row", "t", ts0)).toDF
+    ClpPipeline.run(spark, mini, ClpPipeline.Config(miniOut, maxSinks = 4, saltParts = 4))
+    val e = new ClpSearch(spark, miniOut)
+    assert(e.search("*spark*window*").select("turn_idx").collect().map(_.getInt(0)).toSet == Set(0))
+    assert(e.search("*a1*b2*").select("turn_idx").collect().map(_.getInt(0)).toSet == Set(1))
+    assert(e.search("*a1*zz9*").count() == 0)
+  }
+
+  test("no-driver-map search: distributed dict probes + distributed decode equal the oracle") {
+    engine // force archive build
+    val eD = new ClpSearch(spark, outDir, driverDictThreshold = 0L, hotHeadSize = 3)
+    for (q <- Seq("*connection error*", "*status=failed", "*status=fail*"))
+      assert(got(eD.search(q)) == oracle(q), s"distributed mismatch for '$q'")
+    assert(eD.candidates("*status=zzznotastatus here*").isEmpty)
+  }
+
+  test("out-of-range ts query prunes every sink via the stats index (R3)") {
+    engine // force archive build
+    val maxTs = spark.read.parquet(s"$outDir/sink_stats")
+      .agg(max("max_ts")).head.getTimestamp(0)
+    val beyond = new java.sql.Timestamp(maxTs.getTime + 86400000L)
+    // the timestamp index alone answers "no match" — no scan is even compiled
+    assert(engine.candidates("*", tsLo = Some(beyond)).isEmpty)
+    assert(engine.candidates("*connection error*", tsLo = Some(beyond)).isEmpty)
+    assert(engine.search("*connection error*", tsLo = Some(beyond)).count() == 0)
+    val minTs = spark.read.parquet(s"$outDir/sink_stats")
+      .agg(min("min_ts")).head.getTimestamp(0)
+    val before = new java.sql.Timestamp(minTs.getTime - 86400000L)
+    assert(engine.candidates("*", tsHi = Some(before)).isEmpty)
+  }
+
   test("count and count-by-time agree with the oracle") {
     val q = "*connection error*"
     assert(engine.count(q) == oracle(q).size)

@@ -68,6 +68,18 @@ class KqlSpec extends SparkSpecBase {
     assert(ids("source : a*") == Set(0L, 3L))
   }
 
+  test("NOT matches records where the column is NULL (null-safe negation)") {
+    val withNulls = Seq(
+      (0L, "bash"), (1L, "python"), (2L, null.asInstanceOf[String])
+    ).toDF("id", "tool")
+    def got(kql: String): Set[Long] =
+      KqlCompiler.filter(withNulls, kql).select("id").as[Long].collect().toSet
+    // KQL NOT = "not matched by the inner filter", which includes missing
+    // values — three-valued !pred would silently drop id=2
+    assert(got("NOT tool : bash") == Set(1L, 2L))
+    assert(got("NOT tool : nosuch") == Set(0L, 1L, 2L))
+  }
+
   test("nested column paths") {
     val nested = df.select(struct(col("event_type"), col("value")).as("evt"), col("id"))
     val got = KqlCompiler.filter(nested, "evt : {event_type : error}")

@@ -62,6 +62,20 @@ class StreamingPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("replayed micro-batch ids are idempotent (at-least-once → exactly-once)") {
+    val outDir = Files.createTempDirectory("graft-stream-replay").toString
+    val engine = new StreamingPipeline(spark, outDir)
+    val batch = (0L until 40L).map(c => TranscriptGen.turnAt(c, 0, seed = 17L)).toDF
+    engine.processBatch(batch, 0L)
+    val n1 = spark.read.parquet(s"$outDir/routed").count()
+    // foreachBatch replays the same batch id after a failure — must not append
+    engine.processBatch(batch, 0L)
+    assert(spark.read.parquet(s"$outDir/routed").count() == n1)
+    // a NEW id still appends
+    engine.processBatch(batch, 1L)
+    assert(spark.read.parquet(s"$outDir/routed").count() == 2 * n1)
+  }
+
   test("IR-file streaming source: binary .gir streams feed the pipeline") {
     val srcDir = Files.createTempDirectory("graft-ir-src").toString
     val outDir = Files.createTempDirectory("graft-ir-out").toString
