@@ -49,7 +49,103 @@ object GraftQueries {
     aggregate(sh, lit(Long.MaxValue),
       (acc, s) => least(acc, (lit(a.toLong) * (mdHash(s) % 1000003L) + lit(b.toLong)) % MinhashMod))
 
+  // ---- encoded-domain search lifecycle under the oracle gate --------------
+  // documents-derived transcript turns with synthetic trailing variables
+  // (an int status code and a `code=<lang>` dict token) so the archive's
+  // encoded domain has both variable kinds to match against. The DuckDB
+  // oracle recomputes the SAME derived text and answers with LIKE — the
+  // reference's search-fidelity idea (test-clp_s-search.cpp:205-258).
+  private def searchTurns(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      concat(lit("conv-"), (col("doc_id") % 50).cast("string")).as("conv_id"),
+      (col("doc_id") / 50).cast("int").as("turn_idx"),
+      col("lang").as("role"),
+      concat(col("text"), lit(" status "),
+        ((col("doc_id") % 7) * 100 + 3).cast("string"),
+        lit(" code="), col("lang"), lit(" end")).as("text"),
+      col("source").as("tool"),
+      timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000L).as("ts"))
+
+  /** DuckDB twin of [[searchTurns]]'s derived columns. */
+  private val sqlSearchText =
+    "text || ' status ' || CAST((doc_id % 7) * 100 + 3 AS VARCHAR) || ' code=' || lang || ' end'"
+  private val sqlSearchConv = "'conv-' || CAST(doc_id % 50 AS VARCHAR)"
+
+  /** One routed archive per input dir per JVM — shared by every search-gate
+    * query in a Verify run. */
+  private val archiveCache = scala.collection.mutable.Map.empty[String, String]
+  private def searchArchive(s: SparkSession, d: String): String = archiveCache.synchronized {
+    archiveCache.getOrElseUpdate(d, {
+      withClp(s)
+      val out = java.nio.file.Files.createTempDirectory("graft-search-arch").toString
+      graft.pipeline.ClpPipeline.run(s, searchTurns(s, d),
+        graft.pipeline.ClpPipeline.Config(out, maxSinks = 8, saltParts = 8))
+      out
+    })
+  }
+
+  /** Full lifecycle: compile → dict probe → sink/ts prune → encoded-domain
+    * match (subseq/isin) → decode → verify-iff-imprecise → stable order. */
+  private def searchGate(s: SparkSession, d: String, query: String,
+                         tsLo: Option[java.sql.Timestamp] = None,
+                         tsHi: Option[java.sql.Timestamp] = None): DataFrame =
+    new graft.search.ClpSearch(s, searchArchive(s, d))
+      .search(query, tsLo = tsLo, tsHi = tsHi)
+      .select("conv_id", "turn_idx")
+      .orderBy("conv_id", "turn_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- encoded-domain search e2e (Q1-Q6, P12, P13, J1, R12 under gate) ----
+    "clp_search_e2e_var" -> ((s, d) =>
+      // exact int-variable subquery: " 503 " must match via tryEncodeInt +
+      // subseq_match in the encoded domain (no text verify pass)
+      searchGate(s, d, "* 503 *")),
+    "clp_search_e2e_dict" -> ((s, d) =>
+      // exact dictionary-variable subquery: `code=es` is an =-preceded alpha
+      // token → var-dict probe → ID subsequence match
+      searchGate(s, d, "* code=es *")),
+    "clp_search_e2e_wild" -> ((s, d) =>
+      // greedy mid-token '*': literal pieces span multiple message tokens —
+      // loose-template fallback + decode + wildcard verify
+      searchGate(s, d, "*spark*window*")),
+    "clp_search_e2e_prune" -> ((s, d) =>
+      // absent dict token ⇒ WontMatch before any scan (R1): empty result
+      searchGate(s, d, "* code=zz *")),
+    "clp_search_e2e_ts" -> ((s, d) =>
+      // ts-range search consults the per-sink min/max index (R3) and applies
+      // the inclusive range in the encoded domain
+      searchGate(s, d, "* end",
+        tsLo = Some(new java.sql.Timestamp(1704067200000L + 10000L)),
+        tsHi = Some(new java.sql.Timestamp(1704067200000L + 30000L)))),
+    "clp_extract_e2e" -> ((s, d) => {
+      // O3 ordered reconstruction (clp x) under the gate: decode the whole
+      // archive, stable (conv_id, turn_idx) order, byte-exact fingerprints
+      graft.search.Extract(s, searchArchive(s, d))
+        .select(col("conv_id"), col("turn_idx"), md5(col("text")).as("fp"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    "raw_ingest_e2e" -> ((s, d) => {
+      // P1-P3 under the gate: deterministic raw log files (one per source,
+      // lines = "<formatted ts> <text>") split on timestamp boundaries with
+      // the ts excised and parsed to epoch ms; the oracle recomputes file,
+      // event index, epoch, and the post-excision fingerprint from documents
+      val logDir = java.nio.file.Files.createTempDirectory("graft-rawlogs")
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+      t(s, d, "documents").select("source", "doc_id", "text").collect()
+        .groupBy(_.getString(0))
+        .foreach { case (src, rows) =>
+          val lines = rows.sortBy(_.getLong(1)).map { r =>
+            val epoch = 1704067200000L + r.getLong(1) * 1000L
+            fmt.format(java.time.Instant.ofEpochMilli(epoch)) + " " + r.getString(2)
+          }
+          java.nio.file.Files.write(logDir.resolve(s"$src.log"),
+            lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.pipeline.RawLogIngest.read(s, logDir.toString)
+        .select(col("file"), col("event_idx"), col("epoch_ms"), md5(col("text")).as("fp"))
+        .orderBy("file", "event_idx")
+    }),
     // ---- relational core (A1/A4/P9/P10/P11, J5, O1-O3, W1-W2) ----
     "q1_agg" -> ((s, d) => {
       // A1 grouped aggregation with partial/final split (HashAggregate)
@@ -488,7 +584,32 @@ object GraftQueries {
       |s AS (SELECT doc_id, list_transform(generate_series(1, len(words)-2),
       |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh FROM w)""".stripMargin
 
+  /** Shared SELECT head for the search-gate oracles. */
+  private def sqlSearchSelect(where: String): String =
+    s"""SELECT $sqlSearchConv AS conv_id, CAST(doc_id // 50 AS INT) AS turn_idx
+       |FROM documents WHERE $where ORDER BY conv_id, turn_idx""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "clp_search_e2e_var" ->
+      sqlSearchSelect(s"($sqlSearchText) LIKE '% 503 %'"),
+    "clp_search_e2e_dict" ->
+      sqlSearchSelect(s"($sqlSearchText) LIKE '% code=es %'"),
+    "clp_search_e2e_wild" ->
+      sqlSearchSelect(s"($sqlSearchText) LIKE '%spark%window%'"),
+    "clp_search_e2e_prune" ->
+      sqlSearchSelect(s"($sqlSearchText) LIKE '% code=zz %'"),
+    "clp_search_e2e_ts" ->
+      sqlSearchSelect("doc_id BETWEEN 10 AND 30"),
+    "clp_extract_e2e" ->
+      s"""SELECT $sqlSearchConv AS conv_id, CAST(doc_id // 50 AS INT) AS turn_idx,
+         |  md5($sqlSearchText) AS fp
+         |FROM documents ORDER BY conv_id, turn_idx""".stripMargin,
+    "raw_ingest_e2e" ->
+      """SELECT source || '.log' AS file,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS event_idx,
+        |  1704067200000 + doc_id * 1000 AS epoch_ms,
+        |  md5(' ' || text) AS fp
+        |FROM documents ORDER BY file, event_idx""".stripMargin,
     "dedup_minhash_sig" ->
       s"""$sqlShinglesCte
          |SELECT doc_id,
