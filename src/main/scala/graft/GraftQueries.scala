@@ -94,7 +94,66 @@ object GraftQueries {
       .select("conv_id", "turn_idx")
       .orderBy("conv_id", "turn_idx")
 
+  // ---- clp_s structured-JSON slice: heterogeneous JSONL derived from
+  // documents (4 record shapes incl. a nested object, an array, numeric and
+  // boolean leaves) — the Spark side DISCOVERS shapes from the raw JSON text;
+  // the oracle recomputes descriptors from the generator rule -------------
+  private def jsonlDocs(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("string")
+    val n = (col("doc_id") % 100).cast("string")
+    t(s, d, "documents").select(
+      when(col("doc_id") % 4 === 0, concat(
+        lit("{\"id\":"), did, lit(",\"level\":\"info\",\"msg\":\""), col("text"),
+        lit("\",\"k\":"), n, lit("}")))
+      .when(col("doc_id") % 4 === 1, concat(
+        lit("{\"id\":"), did, lit(",\"level\":\"warn\",\"msg\":\""), col("text"),
+        lit("\",\"k\":"), n, lit(",\"meta\":{\"lang\":\""), col("lang"),
+        lit("\",\"score\":"), n, lit(".5}}")))
+      .when(col("doc_id") % 4 === 2, concat(
+        lit("{\"id\":"), did, lit(",\"msg\":\""), col("text"),
+        lit("\",\"tags\":[\"a\",\""), col("lang"), lit("\"]}")))
+      .otherwise(concat(
+        lit("{\"id\":"), did, lit(",\"msg\":\""), col("text"),
+        lit("\",\"ok\":"), (col("doc_id") % 2 === 0).cast("string"), lit("}")))
+      .as("json"))
+  }
+
+  private val jsonArchiveCache = scala.collection.mutable.Map.empty[String, String]
+  private def jsonArchive(s: SparkSession, d: String): String = jsonArchiveCache.synchronized {
+    jsonArchiveCache.getOrElseUpdate(d, {
+      val out = java.nio.file.Files.createTempDirectory("graft-json-arch").toString
+      graft.pipeline.JsonPipeline.route(s, jsonlDocs(s, d), "json", out)
+      out
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- clp_s structured-JSON pipeline (S4/S7, MPT schema discovery) ----
+    "jsonl_schema_route" -> ((s, d) => {
+      // per-record shape discovery → schema_id dedup → per-schema routing;
+      // the oracle recomputes each shape's canonical descriptor hash from
+      // the generator rule, so ids AND counts must both match
+      val out = jsonArchive(s, d)
+      s.read.parquet(s"$out/schemas")
+        .select(col("schema_id"), col("n_records")).orderBy("schema_id")
+    }),
+    "jsonl_schema_tree" -> ((s, d) => {
+      // the merged parse tree (MPT): union of discovered typed leaves with
+      // deterministic dense node ids
+      val out = jsonArchive(s, d)
+      s.read.parquet(s"$out/schema_tree")
+        .select("node_id", "path", "node_type").orderBy("node_id")
+    }),
+    "jsonl_kql_nested" -> ((s, d) => {
+      // KQL with a wildcard column path resolved against DISCOVERED schemas
+      // (Q9/SchemaMatch): `*.lang` binds to the nested meta.lang leaf of the
+      // one schema that has it; schemas lacking the path contribute nothing
+      val out = jsonArchive(s, d)
+      graft.pipeline.JsonPipeline
+        .kqlSearch(s, out, "*.lang : en AND k >= 50", Seq("id"))
+        .orderBy("id")
+    }),
+
     // ---- encoded-domain search e2e (Q1-Q6, P12, P13, J1, R12 under gate) ----
     "clp_search_e2e_var" -> ((s, d) =>
       // exact int-variable subquery: " 503 " must match via tryEncodeInt +
@@ -589,7 +648,33 @@ object GraftQueries {
     s"""SELECT $sqlSearchConv AS conv_id, CAST(doc_id // 50 AS INT) AS turn_idx
        |FROM documents WHERE $where ORDER BY conv_id, turn_idx""".stripMargin
 
+  /** DuckDB form of the 4 generator-rule shape descriptors. */
+  private val sqlJsonDescriptor =
+    """CASE CAST(doc_id % 4 AS INT)
+      |  WHEN 0 THEN 'id:Integer;k:Integer;level:VarString;msg:ClpString'
+      |  WHEN 1 THEN 'id:Integer;k:Integer;level:VarString;meta.lang:VarString;meta.score:Float;msg:ClpString'
+      |  WHEN 2 THEN 'id:Integer;msg:ClpString;tags:UnstructuredArray'
+      |  ELSE 'id:Integer;msg:ClpString;ok:Boolean' END""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "jsonl_schema_route" ->
+      s"""SELECT md5($sqlJsonDescriptor) AS schema_id, count(*) AS n_records
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "jsonl_schema_tree" ->
+      s"""WITH leaves AS (
+         |  SELECT DISTINCT unnest(string_split($sqlJsonDescriptor, ';')) AS leaf
+         |  FROM documents),
+         |sorted AS (
+         |  SELECT leaf,
+         |    string_split(leaf, ':')[1] AS path, string_split(leaf, ':')[2] AS node_type
+         |  FROM leaves)
+         |SELECT CAST(row_number() OVER (ORDER BY path, node_type) - 1 AS INT) AS node_id,
+         |  path, node_type
+         |FROM sorted ORDER BY node_id""".stripMargin,
+    "jsonl_kql_nested" ->
+      """SELECT doc_id AS id FROM documents
+        |WHERE doc_id % 4 = 1 AND lang = 'en' AND doc_id % 100 >= 50
+        |ORDER BY id""".stripMargin,
     "clp_search_e2e_var" ->
       sqlSearchSelect(s"($sqlSearchText) LIKE '% 503 %'"),
     "clp_search_e2e_dict" ->

@@ -1,0 +1,178 @@
+package graft.core
+
+/**
+ * Per-record JSON shape discovery — the Spark-side re-expression of the
+ * clp_s merged-parse-tree ingestion (SURVEY §1.2): each JSONL record is
+ * reduced to its set of typed leaf nodes, and `schema_id` identifies the
+ * exact record shape so same-shaped records can be stored/queried together
+ * (components/core/src/clp_s/JsonParser.cpp:304-318 typing rules,
+ * SchemaTree.hpp:32-47 node kinds, Schema/SchemaMap dedup →
+ * ArchiveWriter.hpp:192).
+ *
+ * Typing rules reproduced:
+ *   - JSON string WITH a space  → ClpString  (CLP-encodable message)
+ *   - JSON string without space → VarString  (whole string to the var dict)
+ *   - number with '.'/'e'       → Float, else Integer
+ *   - true/false                → Boolean;  null → NullValue
+ *   - array                     → UnstructuredArray (one leaf; the clp_s
+ *                                 default without --structurize-arrays)
+ *   - object                    → recurse (dotted path); empty obj → Object
+ *
+ * The canonical descriptor is the '.'-joined leaf paths with types, sorted
+ * and ';'-joined; `schema_id = md5(descriptor)` — deterministic across
+ * engines (DuckDB can recompute it), the distributed twin of the
+ * reference's sequential schema-ID assignment.
+ */
+object JsonShape {
+
+  final case class ParseError(msg: String, pos: Int)
+    extends RuntimeException(s"$msg at $pos")
+
+  /** Typed leaves of one record: (dotted path, node-type name), unsorted. */
+  def leaves(json: String): List[(String, String)] = {
+    val out = List.newBuilder[(String, String)]
+    val n = json.length
+    var i = 0
+
+    def err(m: String): Nothing = throw ParseError(m, i)
+    def ws(): Unit = while (i < n && (json.charAt(i) == ' ' || json.charAt(i) == '\t' ||
+      json.charAt(i) == '\n' || json.charAt(i) == '\r')) i += 1
+
+    // returns the parsed string AND whether it contained an unescaped space
+    def string(): String = {
+      if (json.charAt(i) != '"') err("expected string")
+      i += 1
+      val sb = new java.lang.StringBuilder
+      while (i < n && json.charAt(i) != '"') {
+        val c = json.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= n) err("dangling escape")
+          json.charAt(i + 1) match {
+            case '"' => sb.append('"'); case '\\' => sb.append('\\')
+            case '/' => sb.append('/'); case 'n' => sb.append('\n')
+            case 't' => sb.append('\t'); case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
+            case 'u' =>
+              if (i + 5 >= n) err("short unicode escape")
+              sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            case other => err(s"bad escape \\$other")
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= n) err("unterminated string")
+      i += 1 // closing quote
+      sb.toString
+    }
+
+    def skipValue(): Unit = { // for array elements: type is the array itself
+      ws()
+      json.charAt(i) match {
+        case '"' => string(); ()
+        case '{' =>
+          i += 1; ws()
+          if (json.charAt(i) == '}') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              ws(); string(); ws()
+              if (json.charAt(i) != ':') err("expected ':'")
+              i += 1; skipValue(); ws()
+              if (json.charAt(i) == ',') i += 1 else more = false
+            }
+            if (json.charAt(i) != '}') err("expected '}'"); i += 1
+          }
+        case '[' =>
+          i += 1; ws()
+          if (json.charAt(i) == ']') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              skipValue(); ws()
+              if (json.charAt(i) == ',') i += 1 else more = false
+            }
+            if (json.charAt(i) != ']') err("expected ']'"); i += 1
+          }
+        case _ => scalarTail()
+      }
+    }
+
+    // consumes a non-string, non-composite scalar; returns its type name
+    def scalarTail(): String = {
+      val start = i
+      while (i < n && !",}] \t\n\r".contains(json.charAt(i))) i += 1
+      json.substring(start, i) match {
+        case "true" | "false" => "Boolean"
+        case "null" => "NullValue"
+        case num if num.nonEmpty =>
+          if (num.exists(c => c == '.' || c == 'e' || c == 'E')) "Float" else "Integer"
+        case _ => err("empty value")
+      }
+    }
+
+    def value(path: String): Unit = {
+      ws()
+      if (i >= n) err("truncated")
+      json.charAt(i) match {
+        case '"' =>
+          val s = string()
+          out += path -> (if (s.indexOf(' ') >= 0) "ClpString" else "VarString")
+        case '{' =>
+          i += 1; ws()
+          if (i < n && json.charAt(i) == '}') { i += 1; out += path -> "Object" }
+          else {
+            var more = true
+            while (more) {
+              ws()
+              val key = string()
+              ws()
+              if (i >= n || json.charAt(i) != ':') err("expected ':'")
+              i += 1
+              value(if (path.isEmpty) key else s"$path.$key")
+              ws()
+              if (i < n && json.charAt(i) == ',') i += 1 else more = false
+            }
+            if (i >= n || json.charAt(i) != '}') err("expected '}'")
+            i += 1
+          }
+        case '[' =>
+          // one UnstructuredArray leaf; contents validated but not typed
+          i += 1; ws()
+          if (i < n && json.charAt(i) == ']') i += 1
+          else {
+            var more = true
+            while (more) {
+              skipValue(); ws()
+              if (i < n && json.charAt(i) == ',') i += 1 else more = false
+            }
+            if (i >= n || json.charAt(i) != ']') err("expected ']'")
+            i += 1
+          }
+          out += path -> "UnstructuredArray"
+        case _ =>
+          out += path -> scalarTail()
+      }
+    }
+
+    value("")
+    ws()
+    if (i != n) err("trailing content")
+    out.result()
+  }
+
+  /** Canonical shape descriptor: sorted `path:Type` pairs, ';'-joined. */
+  def descriptor(json: String): String =
+    leaves(json).map { case (p, t) => s"$p:$t" }.sorted.mkString(";")
+
+  /** Deterministic schema id — md5 hex of the descriptor (cross-engine). */
+  def schemaId(json: String): String = md5Hex(descriptor(json))
+
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+}
