@@ -343,6 +343,18 @@ object GraftQueries {
         .filter(wildcard_match(col("text"), lit("*spark*window*")))
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    "regex_search" -> ((s, d) => {
+      // regex input → RegexToWildcard translation (substring config) → the
+      // standard wildcard-match path; refusal would throw, so this gate also
+      // proves the translation accepts the supported subset
+      withClp(s)
+      val wc = graft.search.RegexToWildcard.translate("spark.*window",
+        graft.search.RegexToWildcard.Config(addPrefixSuffixWildcards = true))
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      t(s, d, "documents")
+        .filter(wildcard_match(col("text"), lit(wc)))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     "clp_dict_size" -> ((s, d) => {
       // A5 dictionary build: every row lands in exactly one logtype group —
       // the dict's counts sum back to the table count
@@ -426,12 +438,29 @@ object GraftQueries {
       val base = 1600000000000L
       val docs = t(s, d, "documents").select(col("source"), col("doc_id"), col("text"))
         .as[(String, Long, String)]
-      docs.groupByKey(_._1)
-        .mapGroups { (_, it) =>
-          val evs = it.toArray.sortBy(_._2).map { case (_, id, text) =>
-            graft.core.IrStream.IrEvent(base + id, graft.core.ClpEncoding.encode(text))
+      // per-producer streams WITHOUT materializing any stream in memory:
+      // shuffle on source, sort within partitions, then stream consecutive
+      // same-source rows straight into the incremental serializer — memory
+      // is bounded by one output blob, never by the largest producer's rows
+      docs.repartition(col("source"))
+        .sortWithinPartitions("source", "doc_id")
+        .mapPartitions { rows =>
+          val buf = rows.buffered
+          new Iterator[Array[Byte]] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): Array[Byte] = {
+              val src = buf.head._1
+              val evIt: Iterator[graft.core.IrStream.IrEvent] =
+                new Iterator[graft.core.IrStream.IrEvent] {
+                  def hasNext: Boolean = buf.hasNext && buf.head._1 == src
+                  def next(): graft.core.IrStream.IrEvent = {
+                    val (_, id, text) = buf.next()
+                    graft.core.IrStream.IrEvent(base + id, graft.core.ClpEncoding.encode(text))
+                  }
+                }
+              graft.core.IrStream.serialize(evIt)
+            }
           }
-          graft.core.IrStream.serialize(evs)
         }
         .flatMap { bytes =>
           graft.core.IrStream.deserialize(bytes).map { ev =>
@@ -548,14 +577,21 @@ object GraftQueries {
       }
       val docs = t(s, d, "documents")
         .select(col("doc_id") +: array_distinct(sh).as("sh") +: sigCols: _*)
-      val banded = docs.select(col("doc_id"), col("sh"),
+      // bucket join + pair dedup on NARROW (a_id, b_id) keys only — the
+      // shingle arrays never enter the band shuffle or the distinct; they are
+      // re-joined afterwards for the verify kernel
+      val banded = docs.select(col("doc_id"),
         explode(array(MinhashFns.indices.map(j =>
           struct(lit(j).as("band"), col(s"mh$j").as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
-      val a = banded.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = banded.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh")).distinct()
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val pairs = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+        .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val shTbl = docs.select(col("doc_id"), col("sh"))
+      pairs
+        .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+        .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
         .withColumn("j", round(
           size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
             size(array_union(col("a_sh"), col("b_sh"))).cast("double"), 4))
@@ -603,26 +639,44 @@ object GraftQueries {
         .agg(sum(col("n_rows")).cast("long").as("n"))
     }),
 
-    // ---- similarity: LSH-bucketed ANN (scale path; no SQL oracle — recall
-    // vs the oracle-checked brute force is asserted in the sbt suite) ----
+    // ---- similarity: LSH-bucketed ANN (scale path; no SQL oracle — bucket
+    // recall vs the oracle-checked brute force is asserted in the sbt
+    // suite). Signature AND scoring are codegen'd vec_dot expressions —
+    // no per-row Scala UDF, no interpreted HOF fold. ----
     "knn_lsh" -> ((s, d) => {
       val planes = KnnLsh.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
-      val bcPlanes = s.sparkContext.broadcast(planes)
-      val sig = udf((emb: Seq[Float]) => KnnLsh.signature(emb.toArray, bcPlanes.value))
-      val e = t(s, d, "embeddings").withColumn("bucket", sig(col("embedding")))
+      val e = t(s, d, "embeddings")
+        .withColumn("bucket", KnnLsh.bucketCol(col("embedding"), planes))
       val q = e.filter(col("vec_id") === 0)
         .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
-      val dot = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .filter(col("bucket") === col("q_bucket")) // bucket pruning
         .withColumn("score", round(
-          dot(col("embedding"), col("q_emb")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) *
-             sqrt(dot(col("q_emb"), col("q_emb")))), 4))
+          vec_dot(col("embedding"), col("q_emb")) /
+            (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+             sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
         .select("vec_id", "score")
         .orderBy(desc("score"), asc("vec_id")).limit(3)
+    }),
+
+    // ---- the bucketed embedding DEDUP end-to-end (the 100 TB shape the
+    // exact dedup_embedding kernel runs inside): LSH bucket → per-bucket
+    // all-pairs exact cosine via pre-normalized codegen'd vec_dot. No SQL
+    // oracle (LSH banding); the sbt suite asserts every emitted pair is in
+    // the exact all-pairs result and measures recall. ----
+    "dedup_embedding_lsh" -> ((s, d) => {
+      val planes = KnnLsh.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+        .withColumn("norm", sqrt(vec_dot(col("emb"), col("emb"))))
+        .select(col("vec_id"), transform(col("emb"), x => x / col("norm")).as("emb"))
+        .withColumn("bucket", KnnLsh.bucketCol(col("emb"), planes))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id")) // co-bucketed pairs only
+        .withColumn("cos", round(vec_dot(col("a_emb"), col("b_emb")), 4))
+        .filter(col("cos") >= 0.4)
+        .select("a_id", "b_id", "cos").orderBy("a_id", "b_id")
     })
   )
 
@@ -787,6 +841,9 @@ object GraftQueries {
         |WHERE text LIKE '%spark%window%' ORDER BY doc_id""".stripMargin,
     "clp_dict_size" ->
       "SELECT count(*) AS n FROM documents",
+    "regex_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text LIKE '%spark%window%' ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

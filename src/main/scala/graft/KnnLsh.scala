@@ -21,6 +21,19 @@ object KnnLsh {
       }
     }
 
+  /** Sign-bit signature as a codegen'd Column: one `vec_dot` against each
+    * plane literal, sign bits packed — stays inside whole-stage codegen
+    * instead of a per-row Scala UDF (the plan a 100 TB bucketing pass
+    * needs). Bit semantics identical to [[signature]]. */
+  def bucketCol(emb: org.apache.spark.sql.Column,
+                planes: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ClpFunctions.vec_dot
+    planes.zipWithIndex.map { case (p, i) =>
+      when(vec_dot(emb, typedLit(p.toSeq)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
   /** Sign-bit signature of a vector against the planes. */
   def signature(emb: Array[Float], planes: Array[Array[Double]]): Int = {
     var sig = 0

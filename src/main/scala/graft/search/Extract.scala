@@ -43,12 +43,16 @@ object Extract {
     graft.functions.ClpFunctions.register(spark)
     val out = apply(spark, args(0))
     if (args.length > 1) {
-      // one text file tree, partitioned by conversation, rows already sorted
-      // within partitions by the extraction sort
-      out.select(col("conv_id"), concat_ws("\t",
+      // globally sorted text output, one file per range partition of the
+      // extraction sort — NOT partitionBy(conv_id), which would explode into
+      // one directory per conversation (10^8 dirs at scale). conv_id rides
+      // in-line; the count reads the written lines back (cheap line count)
+      // instead of re-running the decode job a second time.
+      out.select(concat_ws("\t", col("conv_id"),
           col("turn_idx").cast("string"), col("text")).as("value"))
-        .write.mode("overwrite").partitionBy("conv_id").text(args(1))
-      println(s"extract: wrote ${out.count()} turns to ${args(1)}")
+        .write.mode("overwrite").text(args(1))
+      val n = spark.read.text(args(1)).count()
+      println(s"extract: wrote $n turns to ${args(1)}")
     } else {
       println(s"extract: ${out.count()} turns; first rows:")
       out.show(5, truncate = 60)

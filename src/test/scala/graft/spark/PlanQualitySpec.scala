@@ -57,6 +57,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("[codegen id :"))
   }
 
+  test("lsh bucket + score are codegen'd vec_dot — no Scala UDF, no HOF fold") {
+    val p = executedPlan(graft.GraftQueries.queries("knn_lsh")(spark, sf))
+    assert(p.contains("vec_dot"))
+    assert(!p.contains("UDF("), "per-row Scala UDF crept back into the LSH path")
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF fold in the scoring path")
+    assert(p.contains("[codegen id :"))
+    val p2 = executedPlan(graft.GraftQueries.queries("dedup_embedding_lsh")(spark, sf))
+    assert(p2.contains("vec_dot") && p2.contains("[codegen id :") && !p2.contains("UDF("))
+  }
+
   test("search candidates prune with partition filter on sink_id") {
     val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val turns = graft.pipeline.TranscriptGen.turns(spark, 1500, seed = 5L).toDF
