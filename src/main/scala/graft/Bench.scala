@@ -80,7 +80,11 @@ object Bench {
     // N→4N pair this hardware can express; override with SPARK_GRAFT_CORES_*.
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", math.min(8, cpusMax).toString).toInt
     val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", math.max(cpusHi / 4, 1).toString).toInt
-    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "16000000").toLong
+    // 32M turns: large enough that the pipeline's fixed driver-side seconds
+    // (dict finalization, commit coordination — O(dict)/O(sinks), not
+    // O(rows)) amortize the way they would at the 10^12-turn target; at 16M
+    // they were ~20% of the 8-core run and dominated the scaling ratio.
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "32000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
     val work = Files.createTempDirectory("graft-bench").toString

@@ -102,6 +102,7 @@ object GraftQueries {
     val did = col("doc_id").cast("string")
     val n = (col("doc_id") % 100).cast("string")
     t(s, d, "documents").select(
+      col("source"), col("doc_id"),
       when(col("doc_id") % 4 === 0, concat(
         lit("{\"id\":"), did, lit(",\"level\":\"info\",\"msg\":\""), col("text"),
         lit("\",\"k\":"), n, lit("}")))
@@ -144,6 +145,42 @@ object GraftQueries {
       s.read.parquet(s"$out/schema_tree")
         .select("node_id", "path", "node_type").orderBy("node_id")
     }),
+    "kvir_roundtrip" -> ((s, d) => {
+      // kv-IR (structured IR stream): per-source JSONL event streams are
+      // serialized with schema-tree deltas + typed values (ClpStrings
+      // CLP-encoded on the wire), shipped as opaque blobs, deserialized, and
+      // checked: id value, md5 of the decoded ClpString msg, and the typed
+      // leaf count per record must match the oracle recomputation
+      import s.implicits._
+      val recs = jsonlDocs(s, d).select(col("source"), col("doc_id"), col("json"))
+        .as[(String, Long, String)]
+      recs.repartition(col("source"))
+        .sortWithinPartitions("source", "doc_id")
+        .mapPartitions { rows =>
+          val buf = rows.buffered
+          new Iterator[Array[Byte]] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): Array[Byte] = {
+              val src = buf.head._1
+              val evIt = new Iterator[List[graft.core.JsonShape.Leaf]] {
+                def hasNext: Boolean = buf.hasNext && buf.head._1 == src
+                def next(): List[graft.core.JsonShape.Leaf] =
+                  graft.core.JsonShape.typedLeaves(buf.next()._3)
+              }
+              graft.core.KvIr.serialize(evIt)
+            }
+          }
+        }
+        .flatMap(bytes => graft.core.KvIr.deserialize(bytes).map { leaves =>
+          val id = leaves.find(_.path == "id").map(_.value.toLong).getOrElse(-1L)
+          val msg = leaves.find(_.path == "msg").map(_.value).getOrElse("")
+          (id, msg, leaves.length)
+        })
+        .toDF("id", "msg", "n_leaves")
+        .select(col("id"), md5(col("msg")).as("fp"), col("n_leaves"))
+        .orderBy("id")
+    }),
+
     "jsonl_kql_nested" -> ((s, d) => {
       // KQL with a wildcard column path resolved against DISCOVERED schemas
       // (Q9/SchemaMatch): `*.lang` binds to the nested meta.lang leaf of the
@@ -729,6 +766,11 @@ object GraftQueries {
       """SELECT doc_id AS id FROM documents
         |WHERE doc_id % 4 = 1 AND lang = 'en' AND doc_id % 100 >= 50
         |ORDER BY id""".stripMargin,
+    "kvir_roundtrip" ->
+      """SELECT doc_id AS id, md5(text) AS fp,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 6
+        |       WHEN 2 THEN 3 ELSE 3 END AS n_leaves
+        |FROM documents ORDER BY id""".stripMargin,
     "clp_search_e2e_var" ->
       sqlSearchSelect(s"($sqlSearchText) LIKE '% 503 %'"),
     "clp_search_e2e_dict" ->

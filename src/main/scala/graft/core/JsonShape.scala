@@ -28,9 +28,23 @@ object JsonShape {
   final case class ParseError(msg: String, pos: Int)
     extends RuntimeException(s"$msg at $pos")
 
+  /** One typed leaf with its value in canonical text form:
+    *   - Integer/Float/Boolean/NullValue: the literal token text (Float keeps
+    *     its exact formatting — the clp_s FormattedFloat idea,
+    *     components/core/src/clp_s/FloatFormatEncoding.*)
+    *   - ClpString/VarString: the decoded string content
+    *   - UnstructuredArray: the raw JSON substring
+    *   - Object (empty): "{}"
+    */
+  final case class Leaf(path: String, nodeType: String, value: String)
+
   /** Typed leaves of one record: (dotted path, node-type name), unsorted. */
-  def leaves(json: String): List[(String, String)] = {
-    val out = List.newBuilder[(String, String)]
+  def leaves(json: String): List[(String, String)] =
+    typedLeaves(json).map(l => (l.path, l.nodeType))
+
+  /** Typed leaves WITH values, in document order. */
+  def typedLeaves(json: String): List[Leaf] = {
+    val out = List.newBuilder[Leaf]
     val n = json.length
     var i = 0
 
@@ -98,15 +112,15 @@ object JsonShape {
       }
     }
 
-    // consumes a non-string, non-composite scalar; returns its type name
-    def scalarTail(): String = {
+    // consumes a non-string, non-composite scalar; returns (type, literal)
+    def scalarTail(): (String, String) = {
       val start = i
       while (i < n && !",}] \t\n\r".contains(json.charAt(i))) i += 1
       json.substring(start, i) match {
-        case "true" | "false" => "Boolean"
-        case "null" => "NullValue"
+        case t @ ("true" | "false") => ("Boolean", t)
+        case t @ "null" => ("NullValue", t)
         case num if num.nonEmpty =>
-          if (num.exists(c => c == '.' || c == 'e' || c == 'E')) "Float" else "Integer"
+          (if (num.exists(c => c == '.' || c == 'e' || c == 'E')) "Float" else "Integer", num)
         case _ => err("empty value")
       }
     }
@@ -117,10 +131,10 @@ object JsonShape {
       json.charAt(i) match {
         case '"' =>
           val s = string()
-          out += path -> (if (s.indexOf(' ') >= 0) "ClpString" else "VarString")
+          out += Leaf(path, if (s.indexOf(' ') >= 0) "ClpString" else "VarString", s)
         case '{' =>
           i += 1; ws()
-          if (i < n && json.charAt(i) == '}') { i += 1; out += path -> "Object" }
+          if (i < n && json.charAt(i) == '}') { i += 1; out += Leaf(path, "Object", "{}") }
           else {
             var more = true
             while (more) {
@@ -137,7 +151,9 @@ object JsonShape {
             i += 1
           }
         case '[' =>
-          // one UnstructuredArray leaf; contents validated but not typed
+          // one UnstructuredArray leaf; contents validated but kept as the
+          // raw serialized-JSON substring (clp_s unstructured arrays)
+          val arrStart = i
           i += 1; ws()
           if (i < n && json.charAt(i) == ']') i += 1
           else {
@@ -149,9 +165,10 @@ object JsonShape {
             if (i >= n || json.charAt(i) != ']') err("expected ']'")
             i += 1
           }
-          out += path -> "UnstructuredArray"
+          out += Leaf(path, "UnstructuredArray", json.substring(arrStart, i))
         case _ =>
-          out += path -> scalarTail()
+          val (t, text) = scalarTail()
+          out += Leaf(path, t, text)
       }
     }
 

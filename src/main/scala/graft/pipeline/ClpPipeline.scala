@@ -133,6 +133,61 @@ object ClpPipeline {
     StructField(valueCol, StringType, nullable = false),
     StructField("cnt", LongType, nullable = false)))
 
+  /** GLT sink assignment rule: hottest `maxSinks - 1` templates → dedicated
+    * sinks 1.., long tail → combined sink 0 (deterministic tie-break). */
+  private def assignSinks(lts: Array[(Long, String, Long)], maxSinks: Int): Map[Long, Int] =
+    lts.sortBy { case (_, v, c) => (-c, v) }.take(maxSinks - 1)
+      .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1) }.toMap
+
+  /**
+   * Fused one-pass dict build (driver path only): a SINGLE scan of `parsed`
+   * explodes (kind, value) rows for the logtype AND variable streams, one
+   * salted two-phase aggregation merges them, and one collect feeds the
+   * sink assignment, both dict writes, and the resolution broadcast maps —
+   * replacing two scans, two aggregations, and three driver round-trips.
+   * The 2→8-core profile showed the split build as the pipeline's one
+   * non-scaling stage; this is the serial-fraction fix.
+   * Returns None above the threshold → caller takes the per-dict
+   * (possibly distributed) path.
+   */
+  private[pipeline] def buildDictsFused(parsed: DataFrame, cfg: Config):
+      Option[(Array[(Long, String, Long, Int)], Array[(Long, String, Long)])] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    // union of two column-pruned scans (no struct materialization): the
+    // logtype pass stays a cheap single-column read, the var pass the usual
+    // explode — both feed ONE salted aggregation + ONE collect
+    val kv = parsed.select(lit(0).as("kind"), col("logtype").as("value"))
+      .unionByName(parsed.select(lit(1).as("kind"), explode(col("dict_vars")).as("value")))
+    val counts = kv
+      .withColumn("_salt", pmod(xxhash64(col("value"), spark_partition_id()), lit(cfg.saltParts)))
+      .groupBy(col("_salt"), col("kind"), col("value")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("kind"), col("value")).agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = counts.count() // cardinality gate BEFORE any collect
+    val result =
+      if (n <= cfg.driverDictThreshold) {
+        val all = counts.collect()
+        def ranked(kind: Int): Array[(Long, String, Long)] = {
+          val entries = all.iterator.filter(_._1 == kind).map(t => (t._2, t._3)).toArray
+          java.util.Arrays.sort(entries, Ordering.by((e: (String, Long)) => e._1))
+          entries.iterator.zipWithIndex.map { case ((v, c), ix) => (ix.toLong, v, c) }.toArray
+        }
+        val lts = ranked(0)
+        val sinks = assignSinks(lts, cfg.maxSinks)
+        Some((lts.map { case (id, v, c) => (id, v, c, sinks.getOrElse(id, 0)) }, ranked(1)))
+      } else None
+    counts.unpersist()
+    result
+  }
+
+  private def writeDriverDict(spark: SparkSession, rows: Seq[Row], schema: StructType,
+                              path: String): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 500000 + 1)),
+      schema).write.mode("overwrite").parquet(path)
+
   /** Logtype dictionary with GLT-style sink assignment: the `maxSinks - 1`
     * hottest templates get dedicated sinks (1..), the long tail shares the
     * combined sink 0 — the reference's combined-table threshold idea. */
@@ -176,12 +231,21 @@ object ClpPipeline {
     * merged CLP-order var stream — a single pass, no dictionary shuffle. */
   private def encodeAndEnrichBroadcast(parsed: DataFrame, logtypeDict: DataFrame,
                                        varDict: DataFrame, lookup: DataFrame): DataFrame = {
-    val spark = parsed.sparkSession
     val ltMap: Map[String, (Long, Int)] =
       logtypeDict.select("logtype", "logtype_id", "sink_id").collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     val varMap: Map[String, Long] = varDict.select("value", "var_id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    encodeAndEnrichWithMaps(parsed, ltMap, varMap, lookup)
+  }
+
+  /** Broadcast-mode core, callable with already-built maps (the fused dict
+    * path hands them over without a parquet re-collect round-trip). */
+  private[pipeline] def encodeAndEnrichWithMaps(parsed: DataFrame,
+                                                ltMap: Map[String, (Long, Int)],
+                                                varMap: Map[String, Long],
+                                                lookup: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
     val bcLt = spark.sparkContext.broadcast(ltMap)
     val bcVars = spark.sparkContext.broadcast(varMap)
     val resolve = udf((logtype: String, dictVars: Seq[String], encodedVars: Seq[Long]) => {
@@ -330,24 +394,47 @@ object ClpPipeline {
     val parsed = spark.read.parquet(s"${cfg.outDir}/parsed")
     val turnsIn = parsed.count() // metadata-only count on parquet
 
+    // fused driver-path dict build keeps the collected arrays for this run:
+    // sink assignment, both dict writes, AND the resolution broadcast maps
+    // come from ONE scan + ONE collect (no parquet re-collect round-trips)
+    var fusedMaps: Option[(Map[String, (Long, Int)], Map[String, Long])] = None
     val dictsDone = cfg.resume && lineage.isComplete("dicts")
     if (!dictsDone) {
       val t0 = System.nanoTime()
-      val lt = buildLogtypeDict(parsed, cfg)
-      lt.write.mode("overwrite").parquet(s"${cfg.outDir}/logtype_dict")
-      val vd = buildVarDict(parsed, cfg)
-      vd.write.mode("overwrite").parquet(s"${cfg.outDir}/var_dict")
+      buildDictsFused(parsed, cfg) match {
+        case Some((lts, vars)) =>
+          writeDriverDict(spark,
+            lts.map { case (id, v, c, sink) => Row(id, v, c, sink) }.toSeq,
+            StructType(dictSchema("logtype_id", "logtype").fields :+
+              StructField("sink_id", IntegerType, nullable = false)),
+            s"${cfg.outDir}/logtype_dict")
+          writeDriverDict(spark,
+            vars.map { case (id, v, c) => Row(id, v, c) }.toSeq,
+            dictSchema("var_id", "value"),
+            s"${cfg.outDir}/var_dict")
+          fusedMaps = Some((
+            lts.map { case (id, v, _, sink) => v -> ((id, sink)) }.toMap,
+            vars.map { case (id, v, _) => v -> id }.toMap))
+        case None => // over threshold: per-dict path (distributed IDs)
+          buildLogtypeDict(parsed, cfg)
+            .write.mode("overwrite").parquet(s"${cfg.outDir}/logtype_dict")
+          buildVarDict(parsed, cfg)
+            .write.mode("overwrite").parquet(s"${cfg.outDir}/var_dict")
+      }
       lineage.complete("dicts", Map("input_rows" -> turnsIn,
         "duration_ms" -> (System.nanoTime() - t0) / 1000000))
     }
-    val logtypeDict = spark.read.parquet(s"${cfg.outDir}/logtype_dict")
-    val varDict = spark.read.parquet(s"${cfg.outDir}/var_dict")
+    lazy val logtypeDict = spark.read.parquet(s"${cfg.outDir}/logtype_dict")
+    lazy val varDict = spark.read.parquet(s"${cfg.outDir}/var_dict")
 
     val routeDone = cfg.resume && lineage.isComplete("route")
     if (!routeDone) {
       val t0 = System.nanoTime()
-      val encoded = encodeAndEnrich(parsed, logtypeDict, varDict,
-        TranscriptGen.roleToolLookup(spark), cfg)
+      val lookup = TranscriptGen.roleToolLookup(spark)
+      val encoded = fusedMaps match {
+        case Some((ltMap, varMap)) => encodeAndEnrichWithMaps(parsed, ltMap, varMap, lookup)
+        case None => encodeAndEnrich(parsed, logtypeDict, varDict, lookup, cfg)
+      }
       route(encoded, cfg)
       lineage.complete("route", Map("input_rows" -> turnsIn,
         "duration_ms" -> (System.nanoTime() - t0) / 1000000))
@@ -381,7 +468,10 @@ object ClpPipeline {
 
     Result(
       turnsIn = turnsIn,
-      rowsRouted = routed.count(),
+      // routed cardinality comes from the already-computed stats table (one
+      // tiny read) instead of re-listing + counting the routed tree
+      rowsRouted = spark.read.parquet(s"${cfg.outDir}/sink_stats")
+        .agg(sum(col("n_rows"))).head.getLong(0),
       nLogtypes = logtypeDict.count(),
       nVars = varDict.count())
   }
