@@ -220,6 +220,43 @@ object GraftQueries {
         .select(col("conv_id"), col("turn_idx"), md5(col("text")).as("fp"))
         .orderBy("conv_id", "turn_idx")
     }),
+    "archive_ingest_e2e" -> ((s, d) => {
+      // S2 archive input under the gate: the same per-source log files as
+      // raw_ingest_e2e, but packed into a .zip and a .tar.gz container;
+      // entries stream through the identical split path, so the oracle is
+      // the same recomputation keyed by entry name
+      val dir = java.nio.file.Files.createTempDirectory("graft-archives")
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+      val bySource = t(s, d, "documents").select("source", "doc_id", "text").collect()
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      def entryBytes(rows: Array[org.apache.spark.sql.Row]): Array[Byte] =
+        rows.sortBy(_.getLong(1)).map { r =>
+          fmt.format(java.time.Instant.ofEpochMilli(1704067200000L + r.getLong(1) * 1000L)) +
+            " " + r.getString(2)
+        }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val (zipHalf, tarHalf) = bySource.zipWithIndex.partition(_._2 % 2 == 0)
+      val zout = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve("logs_a.zip")))
+      zipHalf.foreach { case ((src, rows), _) =>
+        zout.putNextEntry(new java.util.zip.ZipEntry(s"$src.log"))
+        zout.write(entryBytes(rows)); zout.closeEntry()
+      }
+      zout.close()
+      val tout = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+        new java.util.zip.GZIPOutputStream(
+          java.nio.file.Files.newOutputStream(dir.resolve("logs_b.tar.gz"))))
+      tarHalf.foreach { case ((src, rows), _) =>
+        val b = entryBytes(rows)
+        val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(s"$src.log")
+        e.setSize(b.length.toLong)
+        tout.putArchiveEntry(e); tout.write(b); tout.closeArchiveEntry()
+      }
+      tout.close()
+      graft.pipeline.ArchiveIngest.read(s, dir.toString)
+        .select(col("file"), col("event_idx"), col("epoch_ms"), md5(col("text")).as("fp"))
+        .orderBy("file", "event_idx")
+    }),
     "raw_ingest_e2e" -> ((s, d) => {
       // P1-P3 under the gate: deterministic raw log files (one per source,
       // lines = "<formatted ts> <text>") split on timestamp boundaries with
@@ -785,6 +822,12 @@ object GraftQueries {
       s"""SELECT $sqlSearchConv AS conv_id, CAST(doc_id // 50 AS INT) AS turn_idx,
          |  md5($sqlSearchText) AS fp
          |FROM documents ORDER BY conv_id, turn_idx""".stripMargin,
+    "archive_ingest_e2e" ->
+      """SELECT source || '.log' AS file,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS event_idx,
+        |  1704067200000 + doc_id * 1000 AS epoch_ms,
+        |  md5(' ' || text) AS fp
+        |FROM documents ORDER BY file, event_idx""".stripMargin,
     "raw_ingest_e2e" ->
       """SELECT source || '.log' AS file,
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS INT) AS event_idx,

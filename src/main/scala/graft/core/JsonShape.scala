@@ -42,8 +42,16 @@ object JsonShape {
   def leaves(json: String): List[(String, String)] =
     typedLeaves(json).map(l => (l.path, l.nodeType))
 
-  /** Typed leaves WITH values, in document order. */
-  def typedLeaves(json: String): List[Leaf] = {
+  /**
+   * Typed leaves WITH values, in document order.
+   *
+   * @param retainFloatFormat the clp_s `--retain-float-format` mode
+   *        (JsonParser.cpp:255-283): float leaves become `FormattedFloat`
+   *        when [[FloatFormat]] can reproduce the literal from
+   *        (double, format-word), else `DictionaryFloat` (string dict);
+   *        off ⇒ plain `Float`.
+   */
+  def typedLeaves(json: String, retainFloatFormat: Boolean = false): List[Leaf] = {
     val out = List.newBuilder[Leaf]
     val n = json.length
     var i = 0
@@ -167,7 +175,11 @@ object JsonShape {
           }
           out += Leaf(path, "UnstructuredArray", json.substring(arrStart, i))
         case _ =>
-          val (t, text) = scalarTail()
+          val (t0, text) = scalarTail()
+          val t =
+            if (t0 == "Float" && retainFloatFormat)
+              if (FloatFormat.encode(text).isDefined) "FormattedFloat" else "DictionaryFloat"
+            else t0
           out += Leaf(path, t, text)
       }
     }

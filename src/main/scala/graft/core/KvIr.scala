@@ -43,7 +43,7 @@ object KvIr {
   /** Node-type wire bytes, index = byte value. */
   final val Types: Vector[String] = Vector(
     "Integer", "Float", "Boolean", "NullValue", "VarString", "ClpString",
-    "UnstructuredArray", "Object")
+    "UnstructuredArray", "Object", "FormattedFloat", "DictionaryFloat")
   private val TypeIx: Map[String, Int] = Types.zipWithIndex.toMap
 
   final case class CorruptStream(msg: String) extends RuntimeException(msg)
@@ -90,7 +90,16 @@ object KvIr {
         writeVarint(out, nodeIds.get((l.path, l.nodeType)).longValue())
         l.nodeType match {
           case "Integer" => writeZigzag(out, l.value.toLong)
-          case "Float" => writeStr(out, l.value) // format-preserving literal
+          case "Float" | "DictionaryFloat" => writeStr(out, l.value) // literal text
+          case "FormattedFloat" =>
+            // (double, 16-bit format word) — the compact clp_s encoding;
+            // encodability was proven at typing time
+            val (v, f) = FloatFormat.encode(l.value).getOrElse(
+              throw new IllegalArgumentException(s"unencodable FormattedFloat '${l.value}'"))
+            val bits = java.lang.Double.doubleToLongBits(v)
+            var k = 56
+            while (k >= 0) { out.write(((bits >>> k) & 0xff).toInt); k -= 8 }
+            out.write((f >> 8) & 0xff); out.write(f & 0xff)
           case "Boolean" => out.write(if (l.value == "true") 1 else 0)
           case "NullValue" | "Object" => ()
           case "VarString" | "UnstructuredArray" => writeStr(out, l.value)
@@ -183,7 +192,13 @@ object KvIr {
             val (path, tpe) = nodes(nid)
             val value = tpe match {
               case "Integer" => zigzag().toString
-              case "Float" => str()
+              case "Float" | "DictionaryFloat" => str()
+              case "FormattedFloat" =>
+                var bits = 0L
+                var k8 = 0
+                while (k8 < 8) { bits = (bits << 8) | u8().toLong; k8 += 1 }
+                val f = (u8() << 8) | u8()
+                FloatFormat.restore(java.lang.Double.longBitsToDouble(bits), f)
               case "Boolean" => if (u8() != 0) "true" else "false"
               case "NullValue" => "null"
               case "Object" => "{}"

@@ -1,0 +1,54 @@
+package graft.core
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Format-preserving floats (clp_s FormattedFloat/DictionaryFloat rules). */
+class FloatFormatSpec extends AnyFunSuite {
+  import GenCheck.forAll
+
+  private val formatted = Seq(
+    "1.5", "1.500", "0.25", "-3.75", "123.450", "0.0001", "-0.50",
+    "1e9", "2.5e-4", "1.5E+03", "7.25e02", "9.999e-10", "3.14159265358979")
+
+  test("FormattedFloat literals restore byte-exactly from (double, format)") {
+    formatted.foreach { s =>
+      val enc = FloatFormat.encode(s)
+      assert(enc.isDefined, s"'$s' should be format-encodable")
+      val (v, f) = enc.get
+      assert(FloatFormat.restore(v, f) == s, s"'$s' restore mismatch")
+    }
+  }
+
+  test("unsupported shapes fall to the dictionary (encode refuses)") {
+    // leading zeros, non-normalized mantissa, >17 significant digits,
+    // huge exponents, junk
+    for (s <- Seq("00.5", "15e2", "1.23456789012345678901", "1e99999", "0e0"))
+      assert(FloatFormat.encode(s).isEmpty, s"'$s' should NOT encode")
+  }
+
+  test("retain mode types floats as Formatted vs Dictionary (JsonParser rule)") {
+    val leaves = JsonShape.typedLeaves(
+      """{"a":1.500,"b":00.5,"c":2.5e-4,"d":3.5}""", retainFloatFormat = true)
+    assert(leaves.map(l => l.path -> l.nodeType) == List(
+      "a" -> "FormattedFloat", "b" -> "DictionaryFloat",
+      "c" -> "FormattedFloat", "d" -> "FormattedFloat"))
+    // default mode unchanged (schema descriptors stay stable)
+    assert(JsonShape.leaves("""{"a":1.500}""") == List("a" -> "Float"))
+  }
+
+  test("kv-IR carries FormattedFloat as (double, word) and DictionaryFloat as text") {
+    val ev = JsonShape.typedLeaves(
+      """{"a":1.500,"b":00.5,"m":"x y z"}""", retainFloatFormat = true)
+    assert(KvIr.deserialize(KvIr.serialize(Seq(ev))) == Vector(ev))
+  }
+
+  test("property: doubles rendered with fixed fraction digits round-trip") {
+    forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue), Gen.choose(1, 6)) { (m, frac) =>
+      val s = new java.math.BigDecimal(java.math.BigInteger.valueOf(m.toLong), frac)
+        .setScale(frac).toPlainString
+      val enc = FloatFormat.encode(s)
+      assert(enc.isDefined && FloatFormat.restore(enc.get._1, enc.get._2) == s, s"'$s'")
+    }
+  }
+}
