@@ -733,6 +733,26 @@ object GraftQueries {
         .orderBy(desc("score"), asc("vec_id")).limit(3)
     }),
 
+    // ---- multi-probe variant: also probes every bucket at Hamming
+    // distance 1 from the query signature (bit_count(xor) ≤ 1, codegen'd
+    // builtin) — the standard recall lever when a near neighbor falls on
+    // the other side of one hyperplane ----
+    "knn_lsh_multiprobe" -> ((s, d) => {
+      val planes = KnnLsh.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+      val e = t(s, d, "embeddings")
+        .withColumn("bucket", KnnLsh.bucketCol(col("embedding"), planes))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
+        .withColumn("score", round(
+          vec_dot(col("embedding"), col("q_emb")) /
+            (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+             sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
+        .select("vec_id", "score")
+        .orderBy(desc("score"), asc("vec_id")).limit(3)
+    }),
+
     // ---- the bucketed embedding DEDUP end-to-end (the 100 TB shape the
     // exact dedup_embedding kernel runs inside): LSH bucket → per-bucket
     // all-pairs exact cosine via pre-normalized codegen'd vec_dot. No SQL

@@ -20,6 +20,12 @@ import graft.pipeline.{ClpPipeline, TranscriptGen}
  */
 final class StreamingPipeline(spark: SparkSession, outDir: String) {
 
+  /** Dictionary state cached across micro-batches in this engine instance —
+    * the streaming twin of the reference's memory-resident writer dicts;
+    * re-hydrated from parquet once on the first batch (and after restart),
+    * not re-collected per batch. */
+  private var dictState: Option[(Map[String, Long], Map[String, Long])] = None
+
   /** Merges a micro-batch of turns; returns rows appended.
     *
     * Idempotent under foreachBatch's at-least-once replay: a committed batch
@@ -42,11 +48,12 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
     val varDictPath = s"$outDir/var_dict"
     val ltDictPath = s"$outDir/logtype_dict"
     val haveDicts = new java.io.File(s"$varDictPath/_SUCCESS").exists()
-    val (oldVars, oldLts) =
+    val (oldVars, oldLts) = dictState.getOrElse {
       if (haveDicts)
         (spark.read.parquet(varDictPath).select("value", "var_id").as[(String, Long)].collect().toMap,
          spark.read.parquet(ltDictPath).select("logtype", "logtype_id").as[(String, Long)].collect().toMap)
       else (Map.empty[String, Long], Map.empty[String, Long])
+    }
 
     val newVarValues = parsed.select(explode(col("dict_vars")).as("value"))
       .distinct().as[String].collect().filterNot(oldVars.contains).sorted
@@ -64,6 +71,7 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
     if (newLtValues.nonEmpty || !haveDicts)
       lts.toSeq.map { case (v, id) => (id, v) }.toDF("logtype_id", "logtype")
         .coalesce(1).write.mode("overwrite").parquet(ltDictPath)
+    dictState = Some((vars, lts))
 
     // ---- encode + route append (sink = logtype_id % 16 for the stream) ----
     val bcVars = spark.sparkContext.broadcast(vars)

@@ -36,4 +36,20 @@ class DedupLshSpec extends SparkSpecBase {
       brute.get(id).foreach(exp => assert(math.abs(exp - score) < 1e-9))
     }
   }
+
+  test("multi-probe widens the candidate set toward brute force") {
+    val sf = "/root/testdata/sf0.001"
+    def scored(name: String): Map[Long, Double] =
+      GraftQueries.queries(name)(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val single = scored("knn_lsh")
+    val multi = scored("knn_lsh_multiprobe")
+    val brute = scored("knn_bruteforce")
+    // multi-probe's top-k scores dominate single-probe's (superset of
+    // candidates, same exact scoring) and move toward the brute-force top-k
+    assert(multi.values.min >= single.values.min - 1e-9)
+    val bruteTop = brute.values.max
+    assert(multi.values.max >= single.values.max - 1e-9)
+    assert(multi.values.max <= bruteTop + 1e-9)
+  }
 }
