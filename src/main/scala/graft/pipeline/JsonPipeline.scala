@@ -44,8 +44,15 @@ object JsonPipeline {
    */
   def route(spark: SparkSession, jsonl: DataFrame, jsonCol: String, outDir: String): Result = {
     import spark.implicits._
-    val shaped = withSchemaId(jsonl, jsonCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE pass over the input discovers shapes and lands the raw records
+    // partitioned by schema_id (the clp_s record store, original order kept
+    // within a schema); everything downstream — catalog, tree, per-schema
+    // parses — reads ONLY its own partition via directory pruning instead
+    // of re-scanning the input once per schema.
+    withSchemaId(jsonl, jsonCol)
+      .select(col("schema_id"), col("descriptor"), col(jsonCol))
+      .write.partitionBy("schema_id").mode("overwrite").parquet(s"$outDir/records")
+    val shaped = spark.read.parquet(s"$outDir/records")
 
     // SchemaMap: schema_id ↔ descriptor (+ counts), deduped
     val schemas = shaped.groupBy("schema_id", "descriptor")
@@ -73,13 +80,12 @@ object JsonPipeline {
     val ids = spark.read.parquet(s"$outDir/schemas")
       .select("schema_id").collect().map(_.getString(0))
     ids.foreach { id =>
-      val sub = shaped.filter(col("schema_id") === id).select(col(jsonCol)).as[String]
+      val sub = shaped.filter(col("schema_id") === id) // partition-pruned read
+        .select(col(jsonCol)).as[String]
       spark.read.json(sub)
         .write.mode("overwrite").parquet(s"$outDir/tables/schema=$id")
     }
-    val n = shaped.count()
-    shaped.unpersist()
-    Result(n, ids.length.toLong)
+    Result(shaped.count(), ids.length.toLong)
   }
 
   /** Reads one schema's columnar table. */
