@@ -88,9 +88,10 @@ object GraftQueries {
     * match (subseq/isin) → decode → verify-iff-imprecise → stable order. */
   private def searchGate(s: SparkSession, d: String, query: String,
                          tsLo: Option[java.sql.Timestamp] = None,
-                         tsHi: Option[java.sql.Timestamp] = None): DataFrame =
+                         tsHi: Option[java.sql.Timestamp] = None,
+                         caseSensitive: Boolean = true): DataFrame =
     new graft.search.ClpSearch(s, searchArchive(s, d))
-      .search(query, tsLo = tsLo, tsHi = tsHi)
+      .search(query, caseSensitive, tsLo, tsHi)
       .select("conv_id", "turn_idx")
       .orderBy("conv_id", "turn_idx")
 
@@ -204,6 +205,14 @@ object GraftQueries {
       // greedy mid-token '*': literal pieces span multiple message tokens —
       // loose-template fallback + decode + wildcard verify
       searchGate(s, d, "*spark*window*")),
+    "clp_search_e2e_multivar" -> ((s, d) =>
+      // TWO ordered variables in one subquery (int then dict): the encoded
+      // subsequence must respect order — P12 under the gate
+      searchGate(s, d, "* 503 code=es *")),
+    "clp_search_e2e_nocase" -> ((s, d) =>
+      // case-insensitive: dict probes become wildcard scans (imprecise var
+      // sets) and the decoded-text verify applies the final case fold
+      searchGate(s, d, "*SPARK*WINDOW*", caseSensitive = false)),
     "clp_search_e2e_prune" -> ((s, d) =>
       // absent dict token ⇒ WontMatch before any scan (R1): empty result
       searchGate(s, d, "* code=zz *")),
@@ -834,6 +843,10 @@ object GraftQueries {
       sqlSearchSelect(s"($sqlSearchText) LIKE '% code=es %'"),
     "clp_search_e2e_wild" ->
       sqlSearchSelect(s"($sqlSearchText) LIKE '%spark%window%'"),
+    "clp_search_e2e_multivar" ->
+      sqlSearchSelect(s"($sqlSearchText) LIKE '% 503 code=es %'"),
+    "clp_search_e2e_nocase" ->
+      sqlSearchSelect(s"lower($sqlSearchText) LIKE '%spark%window%'"),
     "clp_search_e2e_prune" ->
       sqlSearchSelect(s"($sqlSearchText) LIKE '% code=zz %'"),
     "clp_search_e2e_ts" ->

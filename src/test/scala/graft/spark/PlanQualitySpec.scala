@@ -67,6 +67,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p2.contains("vec_dot") && p2.contains("[codegen id :") && !p2.contains("UDF("))
   }
 
+  test("json archive: schema_id filter is a partition filter (directory pruning)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-json-plan").toString
+    val jsonl = Seq(
+      """{"a":"x y","k":1}""", """{"a":"z w","k":2}""", """{"b":true}""")
+      .toDF("json")
+    graft.pipeline.JsonPipeline.route(spark, jsonl, "json", out)
+    val p = plan(spark.read.parquet(s"$out/records")
+      .filter(org.apache.spark.sql.functions.col("schema_id") === "nope"))
+    assert(p.contains("PartitionFilters") && p.contains("schema_id"))
+  }
+
   test("search candidates prune with partition filter on sink_id") {
     val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val turns = graft.pipeline.TranscriptGen.turns(spark, 1500, seed = 5L).toDF
