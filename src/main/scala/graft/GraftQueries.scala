@@ -222,6 +222,33 @@ object GraftQueries {
       searchGate(s, d, "* end",
         tsLo = Some(new java.sql.Timestamp(1704067200000L + 10000L)),
         tsHi = Some(new java.sql.Timestamp(1704067200000L + 30000L)))),
+    "clp_search_e2e_countbytime" -> ((s, d) => {
+      // A2 under the gate: count-by-time buckets through the full search
+      // lifecycle (bucket = floor(ts_ms / size) * size)
+      new graft.search.ClpSearch(s, searchArchive(s, d))
+        .countByTime("* end", 10000L)
+        .select(col("bucket"), col("cnt"))
+        .orderBy("bucket")
+    }),
+    "clp_extract_schema_mode" -> ((s, d) => {
+      // P6 schema-DFA (grok) mode under the gate: the SAME derived turns
+      // compressed with an explicit tokenizer schema (named regex vars +
+      // delimiters), then fully reconstructed — fingerprints must still be
+      // byte-exact, proving the schema tokenizer round-trips
+      withClp(s)
+      val schema = graft.core.TokenizerSchema.parse(
+        """delimiters: \s\t\r\n
+          |int:\-{0,1}[0-9]+
+          |equals:[a-zA-Z]+=[a-zA-Z0-9_\-]+
+          |""".stripMargin)
+      val out = java.nio.file.Files.createTempDirectory("graft-schema-arch").toString
+      graft.pipeline.ClpPipeline.run(s, searchTurns(s, d),
+        graft.pipeline.ClpPipeline.Config(out, maxSinks = 8, saltParts = 8,
+          tokenizerSchema = Some(schema)))
+      graft.search.Extract(s, out)
+        .select(col("conv_id"), col("turn_idx"), md5(col("text")).as("fp"))
+        .orderBy("conv_id", "turn_idx")
+    }),
     "clp_extract_e2e" -> ((s, d) => {
       // O3 ordered reconstruction (clp x) under the gate: decode the whole
       // archive, stable (conv_id, turn_idx) order, byte-exact fingerprints
@@ -851,6 +878,14 @@ object GraftQueries {
       sqlSearchSelect(s"($sqlSearchText) LIKE '% code=zz %'"),
     "clp_search_e2e_ts" ->
       sqlSearchSelect("doc_id BETWEEN 10 AND 30"),
+    "clp_search_e2e_countbytime" ->
+      """SELECT CAST(floor((1704067200000 + doc_id*1000) / 10000) * 10000 AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "clp_extract_schema_mode" ->
+      s"""SELECT $sqlSearchConv AS conv_id, CAST(doc_id // 50 AS INT) AS turn_idx,
+         |  md5($sqlSearchText) AS fp
+         |FROM documents ORDER BY conv_id, turn_idx""".stripMargin,
     "clp_extract_e2e" ->
       s"""SELECT $sqlSearchConv AS conv_id, CAST(doc_id // 50 AS INT) AS turn_idx,
          |  md5($sqlSearchText) AS fp
