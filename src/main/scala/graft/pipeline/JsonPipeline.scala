@@ -41,8 +41,15 @@ object JsonPipeline {
   /**
    * Full route: discover shapes, write the schema catalog + merged leaf
    * tree, then one typed columnar table per discovered schema.
+   *
+   * @param metadata extra per-record metadata columns stored alongside the
+   *        raw records and exposed to [[kqlSearch]] — the clp_s range-index
+   *        idea (`$_filename`, `$_file_split_number`,
+   *        `$_archive_creator_id`; RangeIndexWriter.hpp:17-38,
+   *        archive_constants.hpp:41-45)
    */
-  def route(spark: SparkSession, jsonl: DataFrame, jsonCol: String, outDir: String): Result = {
+  def route(spark: SparkSession, jsonl: DataFrame, jsonCol: String, outDir: String,
+            metadata: Seq[(String, org.apache.spark.sql.Column)] = Nil): Result = {
     import spark.implicits._
     // ONE pass over the input discovers shapes and lands the raw records
     // partitioned by schema_id (the clp_s record store, original order kept
@@ -50,7 +57,9 @@ object JsonPipeline {
     // parses — reads ONLY its own partition via directory pruning instead
     // of re-scanning the input once per schema.
     withSchemaId(jsonl, jsonCol)
-      .select(col("schema_id"), col("descriptor"), col(jsonCol))
+      .withColumn("_raw", col(jsonCol))
+      .select(Seq(col("schema_id"), col("descriptor"), col("_raw")) ++
+        metadata.map { case (n, c) => c.as(n) }: _*)
       .write.partitionBy("schema_id").mode("overwrite").parquet(s"$outDir/records")
     val shaped = spark.read.parquet(s"$outDir/records")
 
@@ -79,12 +88,17 @@ object JsonPipeline {
     // catalog is driver-resident exactly like the reference's SchemaMap
     val ids = spark.read.parquet(s"$outDir/schemas")
       .select("schema_id").collect().map(_.getString(0))
-    ids.foreach { id =>
+    val tableSchemas = ids.map { id =>
       val sub = shaped.filter(col("schema_id") === id) // partition-pruned read
-        .select(col(jsonCol)).as[String]
-      spark.read.json(sub)
-        .write.mode("overwrite").parquet(s"$outDir/tables/schema=$id")
+        .select(col("_raw")).as[String]
+      val tbl = spark.read.json(sub)
+      tbl.write.mode("overwrite").parquet(s"$outDir/tables/schema=$id")
+      id -> tbl.schema.json
     }
+    // catalog the inferred Spark schema per schema_id so search can re-parse
+    // records (aligned with their metadata columns) without re-inference
+    tableSchemas.toSeq.toDF("schema_id", "spark_schema")
+      .write.mode("overwrite").parquet(s"$outDir/table_schemas")
     Result(shaped.count(), ids.length.toLong)
   }
 
@@ -106,11 +120,15 @@ object JsonPipeline {
   }
 
   /**
-   * KQL search across every schema table whose discovered shape can satisfy
-   * the query — the clp_s schema-pruned search: SchemaMatch prunes schema
-   * tables, then the per-schema predicate runs over typed columns
-   * (search/Output.cpp:35-131). Results are the union over matched schemas,
-   * restricted to `select` columns present in each.
+   * KQL search across every discovered schema — the clp_s schema-pruned
+   * search: each schema's records re-parse through the cataloged Spark
+   * schema (partition-pruned read, no re-inference) with the archive's
+   * range-index metadata columns alongside, and the per-schema predicate
+   * runs over the typed columns (search/SchemaMatch.cpp + Output.cpp:35-131,
+   * QueryRunner). Filters whose columns a schema lacks fold to false for
+   * that schema — negated ones included (SchemaMatch existence rule, see
+   * [[graft.search.KqlCompiler]]). Results are the union over matched
+   * schemas, restricted to `select` columns present in each.
    */
   def kqlSearch(spark: SparkSession, outDir: String, kql: String,
                 selectCols: Seq[String]): DataFrame = {
@@ -118,10 +136,16 @@ object JsonPipeline {
       case Right(a) => a
       case Left(err) => throw new IllegalArgumentException(s"KQL parse error: $err")
     }
-    val ids = spark.read.parquet(s"$outDir/schemas")
-      .select("schema_id").collect().map(_.getString(0)).toSeq.sorted
-    val parts = ids.flatMap { id =>
-      val df = table(spark, outDir, id)
+    val records = spark.read.parquet(s"$outDir/records")
+    val metaCols = records.columns.filter(_.startsWith("$")).toSeq
+    val tblSchemas = spark.read.parquet(s"$outDir/table_schemas")
+      .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
+    val parts = tblSchemas.toSeq.flatMap { case (id, schemaJson) =>
+      val recSchema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val df = records.filter(col("schema_id") === id) // partition-pruned
+        .withColumn("_rec", from_json(col("_raw"), recSchema))
+        .select(metaCols.map(m => col(s"`$m`")) :+ col("_rec.*"): _*)
       val hasAll = selectCols.forall(c => df.columns.contains(c))
       if (!hasAll) None
       else Some(df.filter(graft.search.KqlCompiler.compile(ast, df.schema))

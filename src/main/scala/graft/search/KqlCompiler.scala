@@ -16,19 +16,56 @@ import graft.functions.ClpFunctions.wildcard_match
  * Catalyst's BooleanSimplification / ConstantFolding once the predicate is
  * declarative.
  *
- * Wildcard column paths (`a.*.c`, pure `*`) resolve against the schema at
- * compile time (Q9); a filter whose path matches nothing folds to false.
+ * Semantics mirrored from the reference:
+ *   - wildcard column paths (`a.*.c`, pure `*`) resolve against the schema
+ *     at compile time (Q9); a filter whose path matches nothing folds to
+ *     FALSE — **including under NOT** (the compiler normalizes to NNF
+ *     first, so `NOT a: b` on a schema without `a` cannot match, exactly
+ *     like SchemaMatch pruning a negated filter whose column is absent)
+ *   - within a resolved column, NOT is null-safe: records where the column
+ *     IS NULL count as not-matched-by-inner ⇒ they match the negation
+ *   - paths crossing an array of structs compile to `exists(arr, x -> …)`
+ *     (the reference evaluates filters inside arrays; QueryRunner array
+ *     iteration)
+ *   - KQL escape sequences in values (`\n`, `\t`, `\"`, `\\`, `\u####`, …)
+ *     are interpreted; `\*` / `\?` stay literal wildcard characters
  */
 object KqlCompiler {
 
-  /** Leaf = (full path, dataType). */
-  private def leaves(schema: StructType, prefix: Seq[String] = Nil): Seq[(Seq[String], DataType)] =
-    schema.fields.toSeq.flatMap { f =>
-      f.dataType match {
-        case st: StructType => leaves(st, prefix :+ f.name)
-        case dt => Seq((prefix :+ f.name) -> dt)
+  /** One resolved leaf: either a plain (possibly nested-struct) column, or
+    * a field reached through ONE array-of-struct hop. */
+  private sealed trait Leaf { def dt: DataType }
+  private final case class Scalar(path: Seq[String], dt: DataType) extends Leaf
+  private final case class ArrayField(arrPath: Seq[String], inner: Seq[String], dt: DataType)
+    extends Leaf
+  private final case class ArrayElem(arrPath: Seq[String], dt: DataType) extends Leaf
+
+  /** All addressable leaves of a schema, with their logical dotted paths. */
+  private def leaves(schema: StructType): Seq[(Seq[String], Leaf)] = {
+    def walk(st: StructType, prefix: Seq[String], arr: Option[Seq[String]])
+        : Seq[(Seq[String], Leaf)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = prefix :+ f.name
+        f.dataType match {
+          case nested: StructType => walk(nested, p, arr)
+          case ArrayType(nested: StructType, _) if arr.isEmpty =>
+            // one array hop: fields inside become exists() leaves
+            walk(nested, p, Some(p)).map {
+              case (lp, Scalar(full, dt)) =>
+                (lp, ArrayField(p, full.drop(p.length), dt))
+              case other => other
+            }
+          case ArrayType(elem, _) if arr.isEmpty =>
+            Seq(p -> ArrayElem(p, elem))
+          case dt =>
+            arr match {
+              case Some(ap) => Seq(p -> ArrayField(ap, p.drop(ap.length), dt))
+              case None => Seq(p -> Scalar(p, dt))
+            }
+        }
       }
-    }
+    walk(schema, Nil, None)
+  }
 
   private def pathMatches(pattern: Seq[String], path: Seq[String]): Boolean = {
     // per-segment wildcard match; a lone '*' segment spans exactly one level
@@ -45,7 +82,38 @@ object KqlCompiler {
     false
   }
 
-  private def unescapeValue(v: String): String = Wildcard.unescape(v)
+  // ---- KQL value escapes ----------------------------------------------------
+
+  /** Interprets KQL escape sequences. `forPattern=true` keeps `\*`/`\?`/`\\`
+    * escaped (they are wildcard-special in the matcher); otherwise they
+    * become the literal character. */
+  private def kqlUnescape(v: String, forPattern: Boolean): String = {
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'u' if i + 5 < v.length =>
+            sb.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar); i += 6
+          case w @ ('*' | '?') =>
+            if (forPattern) sb.append('\\')
+            sb.append(w); i += 2
+          case '\\' =>
+            if (forPattern) sb.append('\\')
+            sb.append('\\'); i += 2
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def hasWildcard(v: String): Boolean = {
     var i = 0
     while (i < v.length) {
@@ -57,18 +125,22 @@ object KqlCompiler {
     false
   }
 
-  /** One leaf-level comparison; None when the (type, op, value) combination is
-    * impossible (reference NarrowTypes drops the branch — we fold to false). */
-  private def leafPredicate(path: Seq[String], dt: DataType, op: Kql.Op,
+  /** One leaf-level comparison over an already-built column; None when the
+    * (type, op, value) combination is impossible (reference NarrowTypes
+    * drops the branch — we fold to false). */
+  private def leafPredicate(c: Column, dt: DataType, op: Kql.Op,
                             value: String, isDate: Boolean): Option[Column] = {
-    val c = col(path.mkString("."))
     def num: Option[Double] = value.toDoubleOption
-    def lng: Option[Long] = value.toLongOption
+    // `col: *` is EXISTS regardless of type (the reference's ConvertToExists
+    // pass turns the degenerate match-anything filter into an existence
+    // check, clp_s/search/ast/ConvertToExists.cpp)
+    if (op == Kql.Eq && Wildcard.cleanUp(value) == "*") return Some(c.isNotNull)
     (op, dt) match {
       case (Kql.Eq, StringType) =>
         Some(
-          if (hasWildcard(value)) wildcard_match(c, lit(Wildcard.cleanUp(value)))
-          else c === lit(unescapeValue(value)))
+          if (hasWildcard(value))
+            wildcard_match(c, lit(Wildcard.cleanUp(kqlUnescape(value, forPattern = true))))
+          else c === lit(kqlUnescape(value, forPattern = false)))
       case (Kql.Eq, _: NumericType) =>
         num.map(d => c === lit(d)) // float/int equality: 1 matches 1.0
       case (Kql.Eq, BooleanType) =>
@@ -79,7 +151,11 @@ object KqlCompiler {
         }
       case (Kql.Eq, TimestampType | TimestampNTZType) =>
         Some(c === to_timestamp(lit(value)))
-      case (_, StringType) => Some(rangeOp(c, op, lit(value))) // lexicographic
+      case (_, StringType) =>
+        // a numeric range literal against a string column is an impossible
+        // branch (NarrowTypes drops it — no implicit lexicographic compare
+        // of uuids vs numbers); non-numeric literals compare lexicographic
+        if (num.isDefined) None else Some(rangeOp(c, op, lit(value)))
       case (_, _: NumericType) => num.map(d => rangeOp(c, op, lit(d)))
       case (_, TimestampType | TimestampNTZType) =>
         Some(rangeOp(c.cast("timestamp"), op, to_timestamp(lit(value))))
@@ -95,19 +171,55 @@ object KqlCompiler {
     case Kql.Eq => c === v
   }
 
-  def compile(expr: Kql.Expr, schema: StructType): Column = expr match {
-    case Kql.And(l, r) => compile(l, schema) && compile(r, schema)
-    case Kql.Or(l, r) => compile(l, schema) || compile(r, schema)
-    // KQL NOT matches every record the inner filter does NOT match,
-    // including records where the column is missing/NULL — under SQL
-    // three-valued logic a bare !pred would drop NULL rows, so the inner
-    // predicate is null-coalesced to false first.
-    case Kql.Not(e) => !coalesce(compile(e, schema), lit(false))
+  private def colOf(path: Seq[String]): Column =
+    path.map(p => s"`$p`").mkString(".") match { case s => col(s) }
+
+  private def fieldOf(base: Column, inner: Seq[String]): Column =
+    inner.foldLeft(base)(_ getField _)
+
+  private def leafColumn(leaf: Leaf, op: Kql.Op, value: String, isDate: Boolean): Option[Column] =
+    leaf match {
+      case Scalar(p, dt) => leafPredicate(colOf(p), dt, op, value, isDate)
+      case ArrayField(ap, inner, dt) =>
+        // evaluate inside the array: any element matching satisfies (P9
+        // array filters → exists); probe with a dummy to keep None-folding
+        leafPredicate(lit(null).cast(dt), dt, op, value, isDate).map { _ =>
+          exists(colOf(ap), x => leafPredicate(fieldOf(x, inner), dt, op, value, isDate).get)
+        }
+      case ArrayElem(ap, dt) =>
+        leafPredicate(lit(null).cast(dt), dt, op, value, isDate).map { _ =>
+          exists(colOf(ap), x => leafPredicate(x, dt, op, value, isDate).get)
+        }
+    }
+
+  /** NNF compile with SchemaMatch existence semantics: `neg` tracks whether
+    * we are under an odd number of NOTs. */
+  private def nnf(expr: Kql.Expr, schema: StructType, neg: Boolean): Column = expr match {
+    case Kql.And(l, r) =>
+      if (neg) nnf(l, schema, neg) || nnf(r, schema, neg)
+      else nnf(l, schema, neg) && nnf(r, schema, neg)
+    case Kql.Or(l, r) =>
+      if (neg) nnf(l, schema, neg) && nnf(r, schema, neg)
+      else nnf(l, schema, neg) || nnf(r, schema, neg)
+    case Kql.Not(e) => nnf(e, schema, !neg)
     case Kql.Filter(pattern, op, value, isDate) =>
       val matched = leaves(schema).filter { case (p, _) => pathMatches(pattern, p) }
-      val preds = matched.flatMap { case (p, dt) => leafPredicate(p, dt, op, value, isDate) }
-      if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
+      // column ABSENT from the schema ⇒ the filter cannot match, negated or
+      // not (SchemaMatch prunes it); column PRESENT but the (type, value)
+      // combination impossible ⇒ the inner filter is constant-false, which a
+      // negation DOES satisfy (NarrowTypes branch drop under NOT)
+      if (matched.isEmpty) lit(false)
+      else {
+        val preds = matched.flatMap { case (_, leaf) => leafColumn(leaf, op, value, isDate) }
+        val base = if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
+        // null-safe negation: NULL column values count as not-matching the
+        // inner filter, so they DO match the negation
+        if (neg) !coalesce(base, lit(false)) else base
+      }
   }
+
+  def compile(expr: Kql.Expr, schema: StructType): Column =
+    nnf(expr, schema, neg = false)
 
   /** Parse + filter in one step. */
   def filter(df: DataFrame, kql: String): DataFrame =

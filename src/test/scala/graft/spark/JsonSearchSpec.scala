@@ -1,0 +1,111 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.lit
+
+import graft.pipeline.JsonPipeline
+
+/**
+ * The reference's OWN JSON-search golden suite re-expressed: corpus
+ * verbatim from components/core/tests/test_log_files/test_search.jsonl
+ * (and test_search_formatted_float.jsonl), expectations from
+ * test-clp_s-search.cpp:205-258 — (KQL query → expected idx set) over the
+ * schema-routed archive, including escape sequences, arrays, existence
+ * filters, metadata columns, and value-domain float equality.
+ *
+ * Not replicated: the `$*._filename.*` wildcard-metadata-path form (the
+ * engine supports wildcard paths on record columns; metadata columns are
+ * addressed literally).
+ */
+class JsonSearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    """{"idx": 0, "a": "clp string"}""",
+    """{"idx": 1, "msg": "Msg 1: \"Abc123\""}""",
+    """{"idx": 2, "msg": "Msg 2: 'Abc123'"}""",
+    """{"idx": 3, "msg": "Msg 3: \nAbc123"}""",
+    """{"idx": 4, "msg": "Msg 4: \\Abc123"}""",
+    """{"idx": 5, "msg": "Msg 5: \rAbc123"}""",
+    """{"idx": 6, "msg": "Msg 6: \tAbc123"}""",
+    """{"idx": 7, "arr": [{"a": 999}, {"b": 1001}]}""",
+    """{"idx": 8, "arr": {"a": 999, "b": 1001}}""",
+    """{"idx": 9, "var_string": "a", "clp_string": "a b", "float": 1.1, "int": 1, "bool": true, "array": [], "object": {}}""",
+    """{"idx": 10, "ambiguous_varstring": "abcde"}""",
+    """{"idx": 11, "ambiguous_varstring": "ae"}""",
+    """{"idx": 12, "ambiguous_varstring": "a*e"}""",
+    """{"idx": 13, "one": 1}""")
+
+  private lazy val outDir: String = {
+    val dir = Files.createTempDirectory("graft-ref-search").toString
+    JsonPipeline.route(spark, corpus.toDF("json"), "json", dir,
+      metadata = Seq(
+        "$_filename" -> lit("test_search.jsonl"),
+        "$_file_split_number" -> lit(0L),
+        "$_archive_creator_id" -> lit("8f2b4a-creator")))
+    dir
+  }
+
+  private def ids(kql: String, dir: String = outDir): Set[Long] =
+    JsonPipeline.kqlSearch(spark, dir, kql, Seq("idx")).as[Long].collect().toSet
+
+  test("reference query table (test-clp_s-search.cpp)") {
+    val cases: Seq[(String, Set[Long])] = Seq(
+      ("NOT a: b", Set(0L)),
+      ("""msg: "Msg 1: \"Abc123\""""", Set(1L)),
+      ("""msg: "Msg 2: 'Abc123'"""", Set(2L)),
+      ("""msg: "Msg 3: \nAbc123"""", Set(3L)),
+      ("""msg: "Msg 4: \\Abc123"""", Set(4L)),
+      ("""msg: "Msg 5: \rAbc123"""", Set(5L)),
+      ("""msg: "Msg 6: \tAbc123"""", Set(6L)),
+      ("""msg: "*Abc123*"""", Set(1L, 2L, 3L, 4L, 5L, 6L)),
+      ("arr.b > 1000", Set(7L, 8L)),
+      ("var_string: *", Set(9L)),
+      ("clp_string: *", Set(9L)),
+      ("""$_filename: "test_search.jsonl" AND $_file_split_number: 0 AND $_archive_creator_id: * AND idx: 0""",
+        Set(0L)),
+      ("""idx: 0 AND NOT $_filename: "clp string"""", Set(0L)),
+      ("""($_filename: file OR $_file_split_number: 1 OR $_archive_creator_id > 0) AND idx: 0 OR idx: 1""",
+        Set(1L)),
+      ("""ambiguous_varstring: "a*e"""", Set(10L, 11L, 12L)),
+      ("""ambiguous_varstring: "a\*e"""", Set(12L)),
+      ("idx: * AND NOT idx: null AND idx: 0", Set(0L)),
+      ("one > 0.9 AND one < 1.1 AND one: 1.0", Set(13L)))
+    cases.foreach { case (q, exp) =>
+      assert(ids(q) == exp, s"query <$q>")
+    }
+  }
+
+  test("reference formatted-float query table (value-domain equality)") {
+    val floats = Seq(
+      """{ "idx": 0, "msg": "xxx", "formattedFloatValue": -1.000000E3 }""",
+      """{ "idx": 1, "msg": "aaa", "formattedFloatValue": -1.000000E-2 }""",
+      """{ "idx": 2, "msg": "bbb", "formattedFloatValue": -1.000000E-30 }""",
+      """{ "idx": 3, "msg": "ccc", "formattedFloatValue": 0.000000E+000 }""",
+      """{ "idx": 4, "msg": "ddd", "formattedFloatValue": 0.000000E-000 }""",
+      """{ "idx": 5, "msg": "eee", "formattedFloatValue": 0.000000E010 }""",
+      """{ "idx": 6, "msg": "fff", "formattedFloatValue": 1.000000E-16 }""",
+      """{ "idx": 7, "msg": "ggg", "formattedFloatValue": 0.0000000000000001 }""",
+      """{ "idx": 8, "msg": "hhh", "formattedFloatValue": 2.000000 }""",
+      """{ "idx": 9, "msg": "iii", "formattedFloatValue": 3E3 }""",
+      """{ "idx": 10, "msg": "jjj", "formattedFloatValue": 4.000000E+3 }""",
+      """{ "idx": 11, "msg": "kkk", "formattedFloatValue": 5.000000000000001E3 }""",
+      """{ "idx": 12, "msg": "lll", "formattedFloatValue": 5.000000000000002E3 }""")
+    val dir = Files.createTempDirectory("graft-ref-ffloat").toString
+    JsonPipeline.route(spark, floats.toDF("json"), "json", dir)
+    val cases: Seq[(String, Set[Long])] = Seq(
+      ("NOT formattedFloatValue: 0", Set(0L, 1L, 2L, 6L, 7L, 8L, 9L, 10L, 11L, 12L)),
+      ("formattedFloatValue: 0", Set(3L, 4L, 5L)),
+      ("formattedFloatValue: 1e-16", Set(6L, 7L)),
+      ("formattedFloatValue > 0.00", Set(6L, 7L, 8L, 9L, 10L, 11L, 12L)),
+      ("formattedFloatValue > 5000.000000000001", Set(12L)),
+      ("formattedFloatValue < 0.00 AND formattedFloatValue >= -0.01", Set(1L, 2L)),
+      ("idx: 0 AND NOT formattedFloatValue: -1000.0", Set.empty[Long]),
+      ("""msg: "xxx" AND formattedFloatValue: 3000.0""", Set.empty[Long]),
+      ("""msg: "xxx" OR formattedFloatValue: 3000.0""", Set(0L, 9L)))
+    cases.foreach { case (q, exp) =>
+      assert(ids(q, dir) == exp, s"query <$q>")
+    }
+  }
+}
