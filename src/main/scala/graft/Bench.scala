@@ -47,6 +47,9 @@ object Bench {
       // task-side commit (v2): the default v1 renames every task file on the
       // driver serially — seconds per stage at hundreds of files
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // measured: zstd-compressing intermediates/shuffle to trade CPU for
+      // memory bandwidth LOWERED both legs ~20% here — snappy/lz4 defaults
+      // are the right point on this box; keep them
       // shuffle/spill files on tmpfs when available — local-mode stand-in for
       // cluster NVMe shuffle volumes; the measured work stays identical
       .config("spark.local.dir",
