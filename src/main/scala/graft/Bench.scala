@@ -83,12 +83,12 @@ object Bench {
     // N→4N pair this hardware can express; override with SPARK_GRAFT_CORES_*.
     val cpusHi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", math.min(8, cpusMax).toString).toInt
     val cpusLo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", math.max(cpusHi / 4, 1).toString).toInt
-    // 48M turns: large enough that the pipeline's fixed per-run seconds
+    // 64M turns: large enough that the pipeline's fixed per-run seconds
     // (dict finalization, commit coordination, broadcasts — O(dict)/O(sinks),
     // not O(rows); measured ~22 s across corpus sizes) amortize the way they
     // would at the 10^12-turn target; at 16M they were ~20% of the 8-core
     // run and dominated the scaling ratio.
-    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "48000000").toLong
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "64000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // the lo leg is stable across sessions (only sustained many-thread load
     // gets hypervisor-throttled — see BENCH/BASELINE.md variance analysis),
