@@ -10,6 +10,10 @@ object ProfilePipeline {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 32
     val n = if (args.length > 1) args(1).toLong else 1000000L
+    // optional third arg: driverDictThreshold (0 forces the fully
+    // distributed no-driver-map dictionary mode end-to-end)
+    val dictThreshold =
+      if (args.length > 2) args(2).toLong else ClpPipeline.DriverDictThreshold
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -47,7 +51,11 @@ object ProfilePipeline {
     val turns = spark.read.parquet(s"$work/turns")
     t0 = System.nanoTime()
     val res = ClpPipeline.run(spark, turns,
-      ClpPipeline.Config(s"$work/out", maxSinks = 64, saltParts = 64, filesPerSink = 4))
+      ClpPipeline.Config(s"$work/out", maxSinks = 64, saltParts = 64, filesPerSink = 4,
+        driverDictThreshold = dictThreshold))
+    val violations = ClpPipeline.roundTripViolations(spark, turns, s"$work/out",
+      driverDictThreshold = dictThreshold).count()
+    println(s"[prof $cores] round-trip violations: $violations")
     val total = (System.nanoTime() - t0) / 1e9
     for (stage <- Seq("parse", "dicts", "route", "stats")) {
       val m = new String(Files.readAllBytes(Paths.get(s"$work/out/_lineage/$stage.json")))
