@@ -25,8 +25,9 @@ object Bench {
     "q8_tumbling_window", "q9_count_distinct", "q12_json_extract",
     "clp_roundtrip", "clp_roundtrip_props", "clp_int_vars",
     "clp_wildcard_search", "dedup_exact", "dedup_embedding",
-    "text_tokens", "text_fingerprint", "knn_bruteforce",
-    "ir_roundtrip", "multimodal_frames")
+    "dedup_embedding_lsh", "text_tokens", "text_fingerprint",
+    "knn_bruteforce", "regex_search", "ir_roundtrip", "kvir_roundtrip",
+    "multimodal_frames")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
