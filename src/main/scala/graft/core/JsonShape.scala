@@ -120,6 +120,30 @@ object JsonShape {
       }
     }
 
+    // strict JSON number shape: -?digits(.digits)?([eE][+-]?digits)?
+    def isJsonNumber(s: String): Boolean = {
+      var j = 0
+      val m = s.length
+      if (j < m && s.charAt(j) == '-') j += 1
+      val d0 = j
+      while (j < m && s.charAt(j).isDigit) j += 1
+      if (j == d0) return false
+      if (j < m && s.charAt(j) == '.') {
+        j += 1
+        val f0 = j
+        while (j < m && s.charAt(j).isDigit) j += 1
+        if (j == f0) return false
+      }
+      if (j < m && (s.charAt(j) == 'e' || s.charAt(j) == 'E')) {
+        j += 1
+        if (j < m && (s.charAt(j) == '+' || s.charAt(j) == '-')) j += 1
+        val e0 = j
+        while (j < m && s.charAt(j).isDigit) j += 1
+        if (j == e0) return false
+      }
+      j == m
+    }
+
     // consumes a non-string, non-composite scalar; returns (type, literal)
     def scalarTail(): (String, String) = {
       val start = i
@@ -127,9 +151,13 @@ object JsonShape {
       json.substring(start, i) match {
         case t @ ("true" | "false") => ("Boolean", t)
         case t @ "null" => ("NullValue", t)
-        case num if num.nonEmpty =>
-          (if (num.exists(c => c == '.' || c == 'e' || c == 'E')) "Float" else "Integer", num)
-        case _ => err("empty value")
+        case num if num.nonEmpty && isJsonNumber(num) =>
+          if (num.exists(c => c == '.' || c == 'e' || c == 'E')) ("Float", num)
+          // integers beyond int64 follow the reference's simdjson behavior:
+          // they parse as doubles, i.e. Float nodes
+          else if (num.toLongOption.isDefined) ("Integer", num)
+          else ("Float", num)
+        case bad => err(s"invalid scalar '$bad'")
       }
     }
 
@@ -148,6 +176,13 @@ object JsonShape {
             while (more) {
               ws()
               val key = string()
+              // the descriptor flattens paths with '.' and separates leaves
+              // with ';'/':' — keys containing those would silently alias
+              // distinct shapes ({"a.b":1} vs {"a":{"b":1}}), so refuse
+              // loudly (the reference's parent-id tree has no such limit;
+              // documented simplification)
+              if (key.exists(c => c == '.' || c == ';' || c == ':'))
+                err(s"unsupported key character in '$key'")
               ws()
               if (i >= n || json.charAt(i) != ':') err("expected ':'")
               i += 1

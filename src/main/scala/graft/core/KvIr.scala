@@ -48,10 +48,11 @@ object KvIr {
 
   final case class CorruptStream(msg: String) extends RuntimeException(msg)
 
-  // ---- LEB128 helpers ----
+  // ---- LEB128 helpers (full unsigned-64 range: a zigzagged Long.MinValue
+  // arrives with bit 63 set, i.e. as a negative Long — the unsigned shift
+  // loop emits it as the standard 10-byte varint) ----
   private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
-    require(v >= 0, "varint must be non-negative")
     while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
   }
@@ -155,7 +156,9 @@ object KvIr {
         b = u8()
         v |= (b & 0x7fL) << shift
         shift += 7
-        if (shift > 63) err("varint overflow")
+        // a 10-byte varint's final byte lands at shift 63; only a
+        // CONTINUATION past 64 bits is corrupt
+        if (shift > 63 && (b & 0x80) != 0) err("varint overflow")
       } while ((b & 0x80) != 0)
       v
     }

@@ -469,9 +469,10 @@ object ClpPipeline {
     Result(
       turnsIn = turnsIn,
       // routed cardinality comes from the already-computed stats table (one
-      // tiny read) instead of re-listing + counting the routed tree
-      rowsRouted = spark.read.parquet(s"${cfg.outDir}/sink_stats")
-        .agg(sum(col("n_rows"))).head.getLong(0),
+      // tiny read) instead of re-listing + counting the routed tree; sum
+      // over an empty stats table is NULL → 0 (empty input corpus)
+      rowsRouted = Option(spark.read.parquet(s"${cfg.outDir}/sink_stats")
+        .agg(sum(col("n_rows"))).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
       nLogtypes = logtypeDict.count(),
       nVars = varDict.count())
   }

@@ -111,7 +111,7 @@ final class ClpSearch(spark: SparkSession, outDir: String,
     else
       varDictDf
         .filter(wildcard_match(col("value"), lit(pattern), lit(caseSensitive)))
-        .select("var_id").collect().map(_.getLong(0)).toSeq
+        .select("var_id").limit(MaxIdSet + 1).collect().map(_.getLong(0)).toSeq
 
   /** Exact probe of the var dictionary (Q3). */
   private def varDictLookup(token: String): Option[Long] =
@@ -119,7 +119,15 @@ final class ClpSearch(spark: SparkSession, outDir: String,
     else varDictDf.filter(col("value") === lit(token))
       .select("var_id").collect().headOption.map(_.getLong(0))
 
-  /** Wildcard scan of the logtype dictionary (Q5) → (logtype_id, sink_id). */
+  /** Largest dictionary-ID set worth materializing into an `isin`/overlap
+    * constraint; beyond it the constraint is dropped and the decoded-text
+    * verify pass takes over (correctness preserved, bounded driver memory —
+    * the no-driver-map contract holds even for `*e*`-style probes). */
+  private val MaxIdSet = 10000
+
+  /** Wildcard scan of the logtype dictionary (Q5) → (logtype_id, sink_id);
+    * capped at MaxIdSet+1 rows — a longer result only ever means "too many
+    * to enumerate", never a pruning decision. */
   private def logtypeScan(pattern: String, caseSensitive: Boolean): Array[(Long, Int)] =
     if (useDriverMaps)
       logtypeDict.collect {
@@ -128,7 +136,7 @@ final class ClpSearch(spark: SparkSession, outDir: String,
     else
       logtypeDictFullDf
         .filter(wildcard_match(col("logtype"), lit(pattern), lit(caseSensitive)))
-        .select("logtype_id", "sink_id").collect()
+        .select("logtype_id", "sink_id").limit(MaxIdSet + 1).collect()
         .map(r => (r.getLong(0), r.getInt(1)))
 
   /** Per-sink [min_ts, max_ts] from the archive's stats table — the
@@ -173,29 +181,50 @@ final class ClpSearch(spark: SparkSession, outDir: String,
         if (c.matchAll) return Some((df, false))
         // per subquery: Q5 wildcard scan of the logtype dictionary → logtype
         // set, then encoded-domain var constraints (R12: no decode yet); the
-        // query is the OR of its subqueries, evaluated in one scan (J1)
-        val compiled = c.subplans.flatMap { sp =>
-          val matched = logtypeScan(sp.logtypePattern, caseSensitive)
-          if (matched.isEmpty) None
-          else {
-            var cond = col("logtype_id").isin(matched.map(_._1.asInstanceOf[Any]): _*)
-            if (sp.exactVars.nonEmpty)
-              cond = cond && subseq_match(col("vars"), typedLit(sp.exactVars))
-            sp.anyOfVarSets.foreach { ids =>
-              cond = cond && arrays_overlap(col("vars"), typedLit(ids))
-            }
-            Some((cond, matched.map(_._2).toSeq))
+        // query is the OR of its subqueries, evaluated in one scan (J1).
+        // Oversized ID sets (loose '*' subplans, broad probes) drop their
+        // constraint and force the decoded-text verify instead — constraints
+        // only ever PRUNE, so loosening is always sound.
+        var forceVerify = false
+        def varConds(sp: WildcardQueryCompiler.SubPlan): Column = {
+          var cond = lit(true)
+          if (sp.exactVars.nonEmpty)
+            cond = cond && subseq_match(col("vars"), typedLit(sp.exactVars))
+          sp.anyOfVarSets.foreach { ids =>
+            if (ids.size > MaxIdSet) forceVerify = true
+            else cond = cond && arrays_overlap(col("vars"), typedLit(ids))
+          }
+          cond
+        }
+        // (condition, Some(sink set) | None = all sinks)
+        val compiled: Seq[(Column, Option[Seq[Int]])] = c.subplans.flatMap { sp =>
+          if (Wildcard.cleanUp(sp.logtypePattern) == "*") {
+            // loose subplan: matches every template — never enumerate the
+            // dictionary for it (the distributed no-driver-map contract)
+            forceVerify = true
+            Some((varConds(sp), None))
+          } else {
+            val matched = logtypeScan(sp.logtypePattern, caseSensitive)
+            if (matched.isEmpty) None
+            else if (matched.length > MaxIdSet) {
+              forceVerify = true
+              Some((varConds(sp), None))
+            } else
+              Some((col("logtype_id").isin(matched.map(_._1.asInstanceOf[Any]): _*)
+                && varConds(sp), Some(matched.map(_._2).toSeq)))
           }
         }
         if (compiled.isEmpty) return None
         // J2 segment-set intersection: dictionary-derived sinks ∩ ts-admissible
-        val sinks = compiled.flatMap(_._2).distinct
-          .filter(s => admissible.forall(_.contains(s)))
-        if (sinks.isEmpty) return None
-        // partition pruning on sink_id, then the subquery disjunction
-        df = df.filter(col("sink_id").isin(sinks.map(_.asInstanceOf[Any]): _*))
-          .filter(compiled.map(_._1).reduce(_ || _))
-        Some((df, c.verifyText))
+        // (skipped when any subplan may touch every sink)
+        if (compiled.forall(_._2.isDefined)) {
+          val sinks = compiled.flatMap(_._2.get).distinct
+            .filter(s => admissible.forall(_.contains(s)))
+          if (sinks.isEmpty) return None
+          df = df.filter(col("sink_id").isin(sinks.map(_.asInstanceOf[Any]): _*))
+        }
+        df = df.filter(compiled.map(_._1).reduce(_ || _))
+        Some((df, c.verifyText || forceVerify))
     }
   }
 

@@ -46,10 +46,12 @@ object Extract {
       // globally sorted text output, one file per range partition of the
       // extraction sort — NOT partitionBy(conv_id), which would explode into
       // one directory per conversation (10^8 dirs at scale). conv_id rides
-      // in-line; the count reads the written lines back (cheap line count)
-      // instead of re-running the decode job a second time.
-      out.select(concat_ws("\t", col("conv_id"),
-          col("turn_idx").cast("string"), col("text")).as("value"))
+      // in-line; multi-line event texts are TSV-escaped (\\ then \n) so the
+      // one-line-per-turn contract holds and the count reads the written
+      // lines back (cheap) instead of re-running the decode job.
+      out.select(concat_ws("\t", col("conv_id"), col("turn_idx").cast("string"),
+          regexp_replace(regexp_replace(col("text"), "\\\\", "\\\\\\\\"),
+            "\n", "\\\\n").as("text")).as("value"))
         .write.mode("overwrite").text(args(1))
       val n = spark.read.text(args(1)).count()
       println(s"extract: wrote $n turns to ${args(1)}")

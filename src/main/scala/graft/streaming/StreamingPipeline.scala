@@ -32,9 +32,11 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
     * leaves a `_batches/<id>` marker (written only after the routed append
     * succeeds), and a replayed id returns early instead of appending
     * duplicates — the micro-batch twin of the batch pipeline's per-stage
-    * lineage manifests. A crash between append and marker replays the batch;
-    * the dict merge is monotone so the re-derived dictionaries are identical,
-    * and readers can still fence exactly-once on (batch_id ∈ committed). */
+    * lineage manifests. A crash in the window between the append and the
+    * marker replays the batch and CAN leave a duplicate copy of its rows;
+    * because the dict merge is monotone and the batch content identical,
+    * the duplicates are byte-identical rows under the same
+    * (conv_id, turn_idx) key — [[readRouted]] collapses them exactly-once. */
   def processBatch(turns: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
     val marker = new java.io.File(s"$outDir/_batches/$batchId")
@@ -91,6 +93,13 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
     parsed.unpersist()
     marker.mkdirs()
   }
+
+  /** Exactly-once view of the routed stream: collapses the byte-identical
+    * duplicates a crash-between-append-and-marker replay can leave (the
+    * stable key is unique per turn; replayed rows are identical copies). */
+  def readRouted(): DataFrame =
+    spark.read.parquet(s"$outDir/routed")
+      .dropDuplicates("conv_id", "turn_idx")
 
   /** Wires a streaming source of turns into the pipeline. */
   def start(turnsStream: DataFrame, checkpointDir: String): StreamingQuery =

@@ -53,10 +53,12 @@ object ProfilePipeline {
     val res = ClpPipeline.run(spark, turns,
       ClpPipeline.Config(s"$work/out", maxSinks = 64, saltParts = 64, filesPerSink = 4,
         driverDictThreshold = dictThreshold))
+    // timing window closes BEFORE the verification pass — `total` measures
+    // the pipeline only
+    val total = (System.nanoTime() - t0) / 1e9
     val violations = ClpPipeline.roundTripViolations(spark, turns, s"$work/out",
       driverDictThreshold = dictThreshold).count()
     println(s"[prof $cores] round-trip violations: $violations")
-    val total = (System.nanoTime() - t0) / 1e9
     for (stage <- Seq("parse", "dicts", "route", "stats")) {
       val m = new String(Files.readAllBytes(Paths.get(s"$work/out/_lineage/$stage.json")))
       println(s"[prof $cores] $m")

@@ -49,6 +49,18 @@ class JsonShapeSpec extends AnyFunSuite {
     intercept[JsonShape.ParseError](JsonShape.leaves("""{"a":"""))
     intercept[JsonShape.ParseError](JsonShape.leaves("""{"a":1} extra"""))
     intercept[JsonShape.ParseError](JsonShape.leaves("""{"a" 1}"""))
+    // invalid scalars must not be silently typed
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"a":tru}"""))
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"a":NaN}"""))
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"a":1.}"""))
+    // keys that would corrupt the flattened-path descriptor refuse loudly
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"a.b":1}"""))
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"a;b":1}"""))
+  }
+
+  test("integers beyond int64 type as Float (simdjson double behavior)") {
+    assert(JsonShape.leaves("""{"n":99999999999999999999}""") == List("n" -> "Float"))
+    assert(JsonShape.leaves(s"""{"n":${Long.MaxValue}}""") == List("n" -> "Integer"))
   }
 
   test("md5 hex matches the engine convention (lowercase, 32 chars)") {

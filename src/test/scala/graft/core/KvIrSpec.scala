@@ -38,6 +38,12 @@ class KvIrSpec extends AnyFunSuite {
     assert(KvIr.deserialize(KvIr.serialize(Seq(tricky))) == Vector(tricky))
   }
 
+  test("full int64 range survives the zigzag varint layer") {
+    val extremes = JsonShape.typedLeaves(
+      s"""{"max":${Long.MaxValue},"min":${Long.MinValue},"z":0,"neg":-1}""")
+    assert(KvIr.deserialize(KvIr.serialize(Seq(extremes))) == Vector(extremes))
+  }
+
   test("corrupt input is rejected, not misread") {
     intercept[KvIr.CorruptStream](KvIr.deserialize(Array[Byte]('X', 'K', 'V', '1', 0)))
     val good = KvIr.serialize(Seq(ev1))
