@@ -406,6 +406,38 @@ object GraftQueries {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
+    "q13_rollup" -> ((s, d) => {
+      // grouping sets (ROLLUP) — multi-granularity aggregation in one pass
+      // (partial/final HashAggregate with grouping-id expansion)
+      t(s, d, "events")
+        .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+        .rollup("event_type", "user_bucket")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("user_bucket"), lit(-1L)).as("user_bucket"),
+          col("n"), col("value_cents"))
+        .orderBy("event_type", "user_bucket")
+    }),
+    "q14_session_window" -> ((s, d) => {
+      // gap-based sessionization (the session-window analytic): a session
+      // breaks when a user's inter-event gap exceeds 30 min; one
+      // shuffle-per-user window pass (lag → gap flag → running session id)
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev_ms", lag(unix_millis(col("ts").cast("timestamp")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts").cast("timestamp")) - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_millis(col("ts").cast("timestamp"))).as("start_ms"),
+          max(unix_millis(col("ts").cast("timestamp"))).as("end_ms"))
+        .orderBy("user_id", "session_idx")
+    }),
     "q12_json_extract" -> ((s, d) => {
       // S4 embedded-JSON ingestion: from_json over props
       t(s, d, "events")
@@ -978,6 +1010,27 @@ object GraftQueries {
       """SELECT event_type, count(*) AS n FROM events
         |WHERE event_type = 'error' OR value > 99.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(user_id % 10, -1) AS user_bucket, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY ROLLUP (event_type, user_id % 10)
+        |ORDER BY 1, 2""".stripMargin,
+    "q14_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q12_json_extract" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
