@@ -15,6 +15,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = GraftQueries.queries
 
   /** DuckDB-runnable oracle per query (omitted ⇒ rows-only check:
-    * dedup_minhash_pairs [LSH banding], knn_lsh [ANN bucket probe]). */
+    * dedup_minhash_pairs [LSH banding], knn_lsh [ANN bucket probe],
+    * knn_lsh_multiprobe [Hamming-1 probe], dedup_embedding_lsh [LSH-bucketed
+    * cosine] — their exact kernels ARE oracle-checked via
+    * dedup_ngram_jaccard / knn_bruteforce / dedup_embedding). */
   def oracleSql: Map[String, String] = GraftQueries.oracleSql
 }

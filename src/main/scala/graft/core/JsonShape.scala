@@ -76,7 +76,10 @@ object JsonShape {
             case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
             case 'u' =>
               if (i + 5 >= n) err("short unicode escape")
-              sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+              val hex = json.substring(i + 2, i + 6)
+              if (!hex.forall(h => (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') ||
+                  (h >= 'A' && h <= 'F'))) err(s"bad unicode escape \\u$hex")
+              sb.append(Integer.parseInt(hex, 16).toChar)
               i += 4
             case other => err(s"bad escape \\$other")
           }

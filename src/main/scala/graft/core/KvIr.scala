@@ -164,8 +164,12 @@ object KvIr {
     }
     def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
     def str(): String = {
-      val len = varint().toInt
-      if (len < 0 || i + len > n) err("bad string length")
+      // validate the 64-bit varint against the remaining bytes BEFORE the
+      // toInt narrow — e.g. 2^32 would otherwise truncate to 0 (silent
+      // misalignment) and i + len could overflow Int past the bounds check
+      val len64 = varint()
+      if (len64 < 0 || len64 > (n - i).toLong) err("bad string length")
+      val len = len64.toInt
       val s = new String(bytes, i, len, java.nio.charset.StandardCharsets.UTF_8)
       i += len
       s

@@ -110,7 +110,7 @@ object ClpPipeline {
       spark.createDataFrame(
         spark.sparkContext.parallelize(
           sorted.iterator.zipWithIndex.map { case ((v, c), ix) => Row(ix.toLong, v, c) }.toSeq,
-          math.max(1, sorted.length / 500000 + 1)),
+          math.max(1, sorted.length / 50000 + 1)),
         dictSchema(idCol, valueCol))
     } else {
       // distributed dense IDs: range-partitioned sort by value (deterministic
@@ -185,7 +185,7 @@ object ClpPipeline {
   private def writeDriverDict(spark: SparkSession, rows: Seq[Row], schema: StructType,
                               path: String): Unit =
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 500000 + 1)),
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000 + 1)),
       schema).write.mode("overwrite").parquet(path)
 
   /** Logtype dictionary with GLT-style sink assignment: the `maxSinks - 1`

@@ -48,10 +48,11 @@ object Extract {
       // one directory per conversation (10^8 dirs at scale). conv_id rides
       // in-line; multi-line event texts are TSV-escaped (\\ then \n) so the
       // one-line-per-turn contract holds and the count reads the written
-      // lines back (cheap) instead of re-running the decode job.
+      // lines back (cheap) instead of re-running the decode job. \r is
+      // escaped too — Hadoop's line reader treats a bare CR as a terminator.
       out.select(concat_ws("\t", col("conv_id"), col("turn_idx").cast("string"),
-          regexp_replace(regexp_replace(col("text"), "\\\\", "\\\\\\\\"),
-            "\n", "\\\\n").as("text")).as("value"))
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            "\\\\", "\\\\\\\\"), "\n", "\\\\n"), "\r", "\\\\r").as("text")).as("value"))
         .write.mode("overwrite").text(args(1))
       val n = spark.read.text(args(1)).count()
       println(s"extract: wrote $n turns to ${args(1)}")

@@ -99,7 +99,10 @@ object KqlCompiler {
           case 'r' => sb.append('\r'); i += 2
           case 'b' => sb.append('\b'); i += 2
           case 'f' => sb.append('\f'); i += 2
-          case 'u' if i + 5 < v.length =>
+          case 'u' if i + 5 < v.length &&
+              v.substring(i + 2, i + 6).forall(h =>
+                (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') ||
+                  (h >= 'A' && h <= 'F')) =>
             sb.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar); i += 6
           case w @ ('*' | '?') =>
             if (forPattern) sb.append('\\')

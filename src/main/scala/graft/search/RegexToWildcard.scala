@@ -9,6 +9,13 @@ package graft.search
  * wildcard query for the existing compiler, or refuses with the reason
  * (never a silently-wrong approximation).
  *
+ * Single-line assumption: regex `.` does not match `\n` while wildcard
+ * `?`/`*` match any char, so the translation is exact only for inputs
+ * without newlines. CLP log events are newline-split before matching (the
+ * message splitter owns line boundaries), so every matcher input here is
+ * single-line by construction; callers feeding multi-line text must split
+ * first or the wildcard may over-match.
+ *
  * Supported: literals, `.` → `?`, `.*` → `*`, `.+` → `?*`, escaped
  * metachars, single-char charsets (`[y]`, `[\]]`, `[-]`, …), same-letter
  * case pairs (`[xX]`) under the case-insensitive config, `^`/`$` anchors
@@ -110,7 +117,13 @@ object RegexToWildcard {
         case ']' => closed = true; i += 1
         case '\\' =>
           if (i + 1 >= n) return Left("incomplete charset (dangling escape)")
-          members += regex.charAt(i + 1); i += 2
+          val c = regex.charAt(i + 1)
+          // Same contract as the top-level escape: class shorthands (\d, \w,
+          // \s, …) have no single-char wildcard form — refuse, never emit the
+          // letter literally.
+          if (!EscapableSet.contains(c))
+            return Left(s"illegal escape sequence \\$c in charset")
+          members += c; i += 2
         case c => members += c; i += 1
       }
     }

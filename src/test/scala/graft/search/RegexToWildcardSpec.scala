@@ -57,6 +57,12 @@ class RegexToWildcardSpec extends AnyFunSuite {
     bad("[\\\\")
     bad("[xX")
     bad("ch:[a-zA-Z0-9")
+    // class shorthands inside charsets must refuse, never translate to the
+    // literal letter ([\d] is NOT 'd')
+    bad("x[\\d]y")
+    bad("x[\\w]y")
+    bad("x[\\s]y")
+    bad("x[\\n]y")
   }
 
   test("case-insensitive config collapses same-letter pairs") {
