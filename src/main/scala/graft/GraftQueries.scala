@@ -102,20 +102,29 @@ object GraftQueries {
   private def jsonlDocs(s: SparkSession, d: String): DataFrame = {
     val did = col("doc_id").cast("string")
     val n = (col("doc_id") % 100).cast("string")
+    // deterministic per-record timestamp: day/hour/minute derived from
+    // doc_id (oracle recomputes the same arithmetic) — drives the
+    // timestamp-key/range-index/count-by-time gates
+    val ts = format_string("2024-01-%02d %02d:%02d:00",
+      ((col("doc_id") / 1440).cast("long") % 28 + 1).cast("int"),
+      ((col("doc_id") / 60).cast("long") % 24).cast("int"),
+      (col("doc_id") % 60).cast("int"))
     t(s, d, "documents").select(
       col("source"), col("doc_id"),
       when(col("doc_id") % 4 === 0, concat(
-        lit("{\"id\":"), did, lit(",\"level\":\"info\",\"msg\":\""), col("text"),
+        lit("{\"id\":"), did, lit(",\"ts\":\""), ts,
+        lit("\",\"level\":\"info\",\"msg\":\""), col("text"),
         lit("\",\"k\":"), n, lit("}")))
       .when(col("doc_id") % 4 === 1, concat(
-        lit("{\"id\":"), did, lit(",\"level\":\"warn\",\"msg\":\""), col("text"),
+        lit("{\"id\":"), did, lit(",\"ts\":\""), ts,
+        lit("\",\"level\":\"warn\",\"msg\":\""), col("text"),
         lit("\",\"k\":"), n, lit(",\"meta\":{\"lang\":\""), col("lang"),
         lit("\",\"score\":"), n, lit(".5}}")))
       .when(col("doc_id") % 4 === 2, concat(
-        lit("{\"id\":"), did, lit(",\"msg\":\""), col("text"),
+        lit("{\"id\":"), did, lit(",\"ts\":\""), ts, lit("\",\"msg\":\""), col("text"),
         lit("\",\"tags\":[\"a\",\""), col("lang"), lit("\"]}")))
       .otherwise(concat(
-        lit("{\"id\":"), did, lit(",\"msg\":\""), col("text"),
+        lit("{\"id\":"), did, lit(",\"ts\":\""), ts, lit("\",\"msg\":\""), col("text"),
         lit("\",\"ok\":"), (col("doc_id") % 2 === 0).cast("string"), lit("}")))
       .as("json"))
   }
@@ -124,7 +133,9 @@ object GraftQueries {
   private def jsonArchive(s: SparkSession, d: String): String = jsonArchiveCache.synchronized {
     jsonArchiveCache.getOrElseUpdate(d, {
       val out = java.nio.file.Files.createTempDirectory("graft-json-arch").toString
-      graft.pipeline.JsonPipeline.route(s, jsonlDocs(s, d), "json", out)
+      graft.pipeline.JsonPipeline.route(s, jsonlDocs(s, d), "json", out,
+        options = graft.pipeline.JsonPipeline.Options(
+          timestampKey = Some("ts"), orderCol = Some("doc_id")))
       out
     })
   }
@@ -189,6 +200,45 @@ object GraftQueries {
       val out = jsonArchive(s, d)
       graft.pipeline.JsonPipeline
         .kqlSearch(s, out, "*.lang : en AND k >= 50", Seq("id"))
+        .orderBy("id")
+    }),
+    "jsonl_ts_range" -> ((s, d) => {
+      // first-class timestamps: tge/tle injected from the API range
+      // (AddTimestampConditions) + per-schema min/max range-index pruning
+      // (EvaluateTimestampIndex); window = 2024-01-01 02:00-03:59 UTC
+      val out = jsonArchive(s, d)
+      graft.pipeline.JsonPipeline
+        .kqlSearch(s, out, "msg: *", Seq("id"),
+          tsLo = Some(1704074400000L), tsHi = Some(1704081540000L))
+        .orderBy("id")
+    }),
+    "jsonl_count_by_time" -> ((s, d) => {
+      // aggregation over the JSON search path: hourly count of `level:info`
+      // records (the clp_s count-by-time output handler over KQL results)
+      val out = jsonArchive(s, d)
+      graft.pipeline.JsonPipeline
+        .kqlSearch(s, out, "level: info", Seq("$_ts"))
+        .groupBy((floor(col("`$_ts`") / 3600000L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+    "jsonl_extract_e2e" -> ((s, d) => {
+      // ordered reconstruction (`clp-s x` construct_in_order): re-serialize
+      // every record from its typed leaves, globally sorted by
+      // log_event_idx; md5 per record vs the oracle's recomputation of the
+      // generator JSON proves byte-exactness
+      val out = jsonArchive(s, d)
+      graft.pipeline.JsonPipeline.extract(s, out)
+        .select(col("log_event_idx"), md5(col("json")).as("fp"))
+        .orderBy("log_event_idx")
+    }),
+    "jsonl_projection" -> ((s, d) => {
+      // wildcard projection (clp_s search/Projection.cpp): `meta.*` binds
+      // per schema; schemas lacking the columns contribute nulls, never get
+      // silently dropped
+      val out = jsonArchive(s, d)
+      graft.pipeline.JsonPipeline
+        .kqlSearch(s, out, "k >= 50", Seq("id", "meta.*"))
         .orderBy("id")
     }),
 
@@ -867,10 +917,31 @@ object GraftQueries {
   /** DuckDB form of the 4 generator-rule shape descriptors. */
   private val sqlJsonDescriptor =
     """CASE CAST(doc_id % 4 AS INT)
-      |  WHEN 0 THEN 'id:Integer;k:Integer;level:VarString;msg:ClpString'
-      |  WHEN 1 THEN 'id:Integer;k:Integer;level:VarString;meta.lang:VarString;meta.score:Float;msg:ClpString'
-      |  WHEN 2 THEN 'id:Integer;msg:ClpString;tags:UnstructuredArray'
-      |  ELSE 'id:Integer;msg:ClpString;ok:Boolean' END""".stripMargin
+      |  WHEN 0 THEN 'id:Integer;k:Integer;level:VarString;msg:ClpString;ts:DateString'
+      |  WHEN 1 THEN 'id:Integer;k:Integer;level:VarString;meta.lang:VarString;meta.score:Float;msg:ClpString;ts:DateString'
+      |  WHEN 2 THEN 'id:Integer;msg:ClpString;tags:UnstructuredArray;ts:DateString'
+      |  ELSE 'id:Integer;msg:ClpString;ok:Boolean;ts:DateString' END""".stripMargin
+
+  /** DuckDB twins of the generator's timestamp arithmetic (jsonlDocs). */
+  private val sqlJsonTsText =
+    "printf('2024-01-%02d %02d:%02d:00', (doc_id//1440)%28+1, (doc_id//60)%24, doc_id%60)"
+  private val sqlJsonTsEpochMs =
+    "(1704067200 + ((doc_id//1440)%28)*86400 + ((doc_id//60)%24)*3600 + (doc_id%60)*60)*1000"
+
+  /** DuckDB twin of the generator's full JSON text (jsonlDocs) — feeds the
+    * byte-exact extraction oracle. */
+  private val sqlJsonText =
+    s"""CASE CAST(doc_id % 4 AS INT)
+       |  WHEN 0 THEN '{"id":' || doc_id || ',"ts":"' || $sqlJsonTsText ||
+       |    '","level":"info","msg":"' || text || '","k":' || (doc_id%100) || '}'
+       |  WHEN 1 THEN '{"id":' || doc_id || ',"ts":"' || $sqlJsonTsText ||
+       |    '","level":"warn","msg":"' || text || '","k":' || (doc_id%100) ||
+       |    ',"meta":{"lang":"' || lang || '","score":' || (doc_id%100) || '.5}}'
+       |  WHEN 2 THEN '{"id":' || doc_id || ',"ts":"' || $sqlJsonTsText ||
+       |    '","msg":"' || text || '","tags":["a","' || lang || '"]}'
+       |  ELSE '{"id":' || doc_id || ',"ts":"' || $sqlJsonTsText ||
+       |    '","msg":"' || text || '","ok":' || CASE WHEN doc_id%2=0 THEN 'true' ELSE 'false' END || '}'
+       |END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "jsonl_schema_route" ->
@@ -893,9 +964,25 @@ object GraftQueries {
         |ORDER BY id""".stripMargin,
     "kvir_roundtrip" ->
       """SELECT doc_id AS id, md5(text) AS fp,
-        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 6
-        |       WHEN 2 THEN 3 ELSE 3 END AS n_leaves
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 5 WHEN 1 THEN 7
+        |       WHEN 2 THEN 4 ELSE 4 END AS n_leaves
         |FROM documents ORDER BY id""".stripMargin,
+    "jsonl_ts_range" ->
+      s"""SELECT doc_id AS id FROM documents
+         |WHERE $sqlJsonTsEpochMs BETWEEN 1704074400000 AND 1704081540000
+         |ORDER BY id""".stripMargin,
+    "jsonl_count_by_time" ->
+      s"""SELECT ($sqlJsonTsEpochMs)//3600000 AS bucket, count(*) AS n
+         |FROM documents WHERE doc_id % 4 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "jsonl_extract_e2e" ->
+      s"""SELECT doc_id AS log_event_idx, md5($sqlJsonText) AS fp
+         |FROM documents ORDER BY 1""".stripMargin,
+    "jsonl_projection" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id%4=1 THEN lang END AS "meta.lang",
+        |  CASE WHEN doc_id%4=1 THEN (doc_id%100)+0.5 END AS "meta.score"
+        |FROM documents WHERE doc_id%4 IN (0,1) AND doc_id%100 >= 50
+        |ORDER BY id""".stripMargin,
     "clp_search_e2e_var" ->
       sqlSearchSelect(s"($sqlSearchText) LIKE '% 503 %'"),
     "clp_search_e2e_dict" ->

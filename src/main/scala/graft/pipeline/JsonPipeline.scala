@@ -1,46 +1,173 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.core.JsonShape
+import graft.core.{JsonShape, TimestampPatterns}
 
 /**
  * The clp_s structured-JSON pipeline slice (SURVEY §1.2 / §2.1 S4+S7):
  * heterogeneous JSONL records are shape-discovered per record
  * ([[JsonShape]]), deduplicated into a schema catalog + merged leaf tree
- * (the MPT re-expressed as data), and routed into per-schema columnar
- * tables — records with the same schema stored together, each table typed
- * by its own inferred Spark schema
- * (components/core/src/clp_s/JsonParser.cpp, SchemaMap/ArchiveWriter,
- * ColumnWriter.hpp:50-173).
+ * (the MPT re-expressed as data), and routed into per-schema partitions —
+ * records with the same schema stored together, each schema's typed Spark
+ * StructType DERIVED from its descriptor + element shapes, never inferred
+ * by a data pass (components/core/src/clp_s/JsonParser.cpp,
+ * SchemaMap/ArchiveWriter, ColumnWriter.hpp:50-173).
  *
  * Archive layout under `outDir`:
- *   schemas/       (schema_id, descriptor, n_records)       — SchemaMap
- *   schema_tree/   (node_id, path, node_type)               — MPT leaves
- *   tables/schema=<id>/  per-schema columnar parquet         — SchemaWriter
+ *   records/schema_id=<id>/  raw records + log_event_idx + $_ts + metadata
+ *   schemas/       (schema_id, descriptor, n_records, min_ts, max_ts)
+ *   schema_tree/   (node_id, path, node_type)                — MPT leaves
+ *   table_schemas/ (schema_id, spark_schema)      — derived StructType json
  *
- * Scale notes: shape discovery and routing are single-pass per-row ops; the
- * only driver-side structure is the schema catalog itself, which the
- * reference also keeps memory-resident (SchemaMap) — real-world schema
- * counts are 10²-10⁴, never row-scale. The per-schema write partitions by
- * schema_id in ONE shuffle-free pass per schema group; records inside a
- * schema stay in input order (log_event_idx ordering invariant).
+ * First-class timestamps (the reference's `--timestamp-key`,
+ * CommandLineArguments.cpp:233-235): the designated leaf is typed
+ * `DateString` (JsonParser.cpp:558-574), its parsed epoch lands in the
+ * `$_ts` metadata column, and per-schema min/max epoch in the catalog is
+ * the range index (TimestampEntry.hpp:30-51) consulted at plan time by
+ * [[kqlSearch]] — an out-of-range query touches zero partitions
+ * (search/EvaluateTimestampIndex.cpp), and in-range queries get the
+ * tge/tle predicate injected (search/AddTimestampConditions.hpp:15-34).
+ *
+ * Scale notes: route is a FIXED number of Spark jobs regardless of schema
+ * count — one shaping pass that lands the records store (shuffled once on
+ * schema_id so each schema gets contiguous files), one catalog aggregation,
+ * and driver-side writes of the catalog/tree/table-schema tables. The only
+ * driver-side structure is the schema catalog itself, which the reference
+ * also keeps memory-resident (SchemaMap) — real-world schema counts are
+ * 10²-10⁴, never row-scale. Round 2's per-schema `spark.read.json`
+ * inference loop (10⁴ sequential jobs at reference-realistic schema counts)
+ * is gone: element types for array columns are canonicalized into mergeable
+ * shape strings at parse time ([[JsonShape.shapeOf]]) and merged in the
+ * catalog aggregation, exactly the information the reference's MPT child
+ * nodes carry.
  */
 object JsonPipeline {
 
-  private val descriptorUdf = udf((s: String) => JsonShape.descriptor(s))
+  /** Ingest options — the clp_s command-line surface re-expressed
+    * (CommandLineArguments.cpp: `--timestamp-key`, `--structurize-arrays`).
+    *
+    * @param timestampKey dotted path of the timestamp column
+    * @param structurizeArrays type arrays as StructuredArray with element
+    *        child nodes (finer-grained schema identity, like the reference)
+    * @param orderCol existing total-order column to use as log_event_idx
+    *        (archive_constants.hpp:31); None ⇒ a deterministic zipWithIndex
+    *        pass assigns contiguous input-order indices
+    * @param filesPerSchema fan-out within one schema's partition — bound on
+    *        file count for hot schemas (the ClpPipeline route twin)
+    */
+  final case class Options(
+      timestampKey: Option[String] = None,
+      structurizeArrays: Boolean = false,
+      orderCol: Option[String] = None,
+      filesPerSchema: Int = 1)
+
+  /** Numeric timestamp-key values are epoch seconds unless already epoch
+    * millis (≥10^12); strings go through the reference's timestamp pattern
+    * corpus. Unparseable ⇒ null (the record stays, its schema range just
+    * doesn't tighten). */
+  private def parseTs(nodeType: String, value: String): Option[Long] = nodeType match {
+    case "DateString" => TimestampPatterns.searchFull(value).map(_.epochMs)
+    case "Integer" =>
+      value.toLongOption.map(v => if (math.abs(v) >= 1000000000000L) v else v * 1000L)
+    case "Float" | "FormattedFloat" | "DictionaryFloat" =>
+      value.toDoubleOption.map(v => (v * 1000.0).toLong)
+    case _ => None
+  }
+
+  /** (descriptor, epoch-millis-or-null, array-shape entries) per record —
+    * a flat tuple return so Catalyst's encoder codegen stays happy. */
+  private def shapeUdf(timestampKey: Option[String], structurizeArrays: Boolean) =
+    udf { (json: String) =>
+      val ls = JsonShape.typedLeaves(json, retainFloatFormat = false,
+        timestampKey, structurizeArrays)
+      val descriptor = ls.map(l => s"${l.path}:${l.nodeType}").distinct.sorted.mkString(";")
+      val ts: java.lang.Long = timestampKey.flatMap(k =>
+        ls.find(_.path == k).flatMap(l => parseTs(l.nodeType, l.value)))
+        .map(java.lang.Long.valueOf).orNull
+      val shapes = ls.iterator
+        .filter(l => l.nodeType == "UnstructuredArray" || l.nodeType == "StructuredArray")
+        .map(l => s"${l.path}=${JsonShape.shapeOf(l.value)}")
+        .mkString("\u0001")
+      (descriptor, ts, shapes)
+    }
 
   /** Adds `descriptor` and `schema_id` columns derived from `jsonCol`. */
   def withSchemaId(df: DataFrame, jsonCol: String): DataFrame =
-    df.withColumn("descriptor", descriptorUdf(col(jsonCol)))
+    df.withColumn("descriptor",
+        shapeUdf(None, structurizeArrays = false)(col(jsonCol)).getField("_1"))
       .withColumn("schema_id", md5(col("descriptor")))
 
   final case class Result(nRecords: Long, nSchemas: Long)
 
+  // ---- descriptor + shapes → Spark StructType (no inference pass) --------
+
+  private def scalarDataType(nodeType: String): DataType = nodeType match {
+    case "Integer" => LongType
+    case "Float" | "FormattedFloat" | "DictionaryFloat" => DoubleType
+    case "Boolean" => BooleanType
+    // null-only and string-family leaves land as strings (what inference
+    // would pick); DateString stays the raw string — $_ts carries the epoch
+    case "NullValue" | "ClpString" | "VarString" | "DateString" => StringType
+    case "Object" => StructType(Nil)
+    case other => throw new IllegalArgumentException(s"not a scalar node type: $other")
+  }
+
+  private[pipeline] def shapeToDataType(shape: String): DataType = shape match {
+    case "L" => LongType
+    case "D" => DoubleType
+    case "B" => BooleanType
+    case "S" | "N" | "E" => StringType
+    // irreconcilable element mix: fall back to the raw JSON text (Spark's
+    // Jackson parser captures any value as its text for StringType fields)
+    case "X" => StringType
+    case s if s.startsWith("[") => ArrayType(shapeToDataType(s.substring(1, s.length - 1)))
+    case s if s.startsWith("{") =>
+      StructType(JsonShape.shapeFields(s).toSeq.sortBy(_._1).map { case (k, sub) =>
+        StructField(k, shapeToDataType(sub))
+      })
+    case other => throw new IllegalArgumentException(s"bad shape: $other")
+  }
+
+  /** Derives the per-schema Spark StructType from the canonical descriptor
+    * plus the merged array-element shapes — the reference reads exactly this
+    * off its MPT nodes; no data pass. */
+  private[pipeline] def deriveStructType(
+      descriptor: String, arrShapes: Map[String, String]): StructType = {
+    val ls = descriptor.split(';').iterator.filter(_.nonEmpty)
+      .map { leaf =>
+        val c = leaf.lastIndexOf(':')
+        (leaf.substring(0, c), leaf.substring(c + 1))
+      }
+      // structurize child leaves carry element typing, already merged into
+      // the shape entries of their array node
+      .filterNot(_._1.contains("[]"))
+      .toSeq
+    def build(entries: Seq[(List[String], String, String)]): StructType = {
+      val groups = entries.groupBy(_._1.head).toSeq.sortBy(_._1)
+      StructType(groups.map { case (seg, sub) =>
+        val (leavesHere, deeper) = sub.partition(_._1.length == 1)
+        if (deeper.isEmpty) {
+          val (_, t, full) = leavesHere.head
+          val dt =
+            if (t == "UnstructuredArray" || t == "StructuredArray")
+              arrShapes.get(full).map(shapeToDataType).getOrElse(StringType)
+            else scalarDataType(t)
+          StructField(seg, dt)
+        } else
+          // a path is never both leaf and prefix within one record's shape
+          StructField(seg, build(deeper.map { case (p, t, f) => (p.tail, t, f) }))
+      })
+    }
+    build(ls.map { case (p, t) => (p.split('.').toList, t, p) })
+  }
+
   /**
-   * Full route: discover shapes, write the schema catalog + merged leaf
-   * tree, then one typed columnar table per discovered schema.
+   * Full route: discover shapes, land the per-schema records store, write
+   * the schema catalog (+ timestamp range index) + merged leaf tree +
+   * derived per-schema Spark schemas. O(1) Spark jobs at any schema count.
    *
    * @param metadata extra per-record metadata columns stored alongside the
    *        raw records and exposed to [[kqlSearch]] — the clp_s range-index
@@ -49,62 +176,104 @@ object JsonPipeline {
    *        archive_constants.hpp:41-45)
    */
   def route(spark: SparkSession, jsonl: DataFrame, jsonCol: String, outDir: String,
-            metadata: Seq[(String, org.apache.spark.sql.Column)] = Nil): Result = {
-    import spark.implicits._
-    // ONE pass over the input discovers shapes and lands the raw records
-    // partitioned by schema_id (the clp_s record store, original order kept
-    // within a schema); everything downstream — catalog, tree, per-schema
-    // parses — reads ONLY its own partition via directory pruning instead
-    // of re-scanning the input once per schema.
-    withSchemaId(jsonl, jsonCol)
-      .withColumn("_raw", col(jsonCol))
-      .select(Seq(col("schema_id"), col("descriptor"), col("_raw")) ++
-        metadata.map { case (n, c) => c.as(n) }: _*)
+            metadata: Seq[(String, Column)] = Nil,
+            options: Options = Options()): Result = {
+    // log_event_idx: the reference's per-record sequential index
+    // (archive_constants.hpp:31). An existing total-order column is the
+    // zero-cost path; otherwise zipWithIndex assigns contiguous input-order
+    // ids (one extra count job — still O(1) jobs).
+    val indexed = options.orderCol match {
+      case Some(c) => jsonl.withColumn("log_event_idx", col(c).cast(LongType))
+      case None =>
+        val base = jsonl
+        val rdd = base.rdd.zipWithIndex.map { case (r, ix) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ix)
+        }
+        spark.createDataFrame(rdd, base.schema.add("log_event_idx", LongType))
+    }
+
+    // ONE shaping pass lands the records store partitioned by schema_id —
+    // shuffled once on (schema_id, bounded salt) so every schema gets
+    // contiguous, boundedly-many files, ordered by log_event_idx within
+    val shaped0 = indexed
+      .withColumn("_shape", shapeUdf(options.timestampKey, options.structurizeArrays)(col(jsonCol)))
+      .select(Seq(
+        md5(col("_shape._1")).as("schema_id"),
+        col("_shape._1").as("descriptor"),
+        col("_shape._2").as("$_ts"),
+        col("_shape._3").as("_arr_shapes"),
+        col("log_event_idx"),
+        col(jsonCol).as("_raw")) ++
+        metadata.map { case (nm, c) => c.as(nm) }: _*)
+    shaped0
+      .repartition(col("schema_id"),
+        pmod(xxhash64(col("log_event_idx")), lit(options.filesPerSchema.max(1))))
+      .sortWithinPartitions("schema_id", "log_event_idx")
       .write.partitionBy("schema_id").mode("overwrite").parquet(s"$outDir/records")
     val shaped = spark.read.parquet(s"$outDir/records")
 
-    // SchemaMap: schema_id ↔ descriptor (+ counts), deduped
-    val schemas = shaped.groupBy("schema_id", "descriptor")
-      .agg(count(lit(1)).as("n_records"))
-    schemas.write.mode("overwrite").parquet(s"$outDir/schemas")
+    // ONE aggregation builds the whole catalog: SchemaMap counts, the
+    // TimestampEntry min/max range index, and the merged element shapes
+    import spark.implicits._
+    val catalog = shaped
+      .groupBy("schema_id", "descriptor")
+      .agg(
+        count(lit(1)).as("n_records"),
+        min(col("`$_ts`")).as("min_ts"),
+        max(col("`$_ts`")).as("max_ts"),
+        collect_set(col("_arr_shapes")).as("shape_sets"))
+      .as[(String, String, Long, Option[Long], Option[Long], Seq[String])]
+      .collect()
+      .sortBy(_._1)
+
+    catalog.toSeq.map(c => (c._1, c._2, c._3, c._4, c._5))
+      .toDF("schema_id", "descriptor", "n_records", "min_ts", "max_ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/schemas")
 
     // MPT leaves: union of every schema's leaf set; deterministic dense node
     // ids by (path, type) sort — the distributed twin of sequential node
     // insertion (SchemaTree.hpp:32-47)
-    val tree = spark.read.parquet(s"$outDir/schemas")
-      .select(explode(split(col("descriptor"), ";")).as("leaf"))
-      .distinct()
-      .select(
-        substring_index(col("leaf"), ":", 1).as("path"),
-        substring_index(col("leaf"), ":", -1).as("node_type"))
-      .orderBy("path", "node_type")
-      .withColumn("node_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("path", "node_type")) - 1)
-    tree.select("node_id", "path", "node_type")
-      .write.mode("overwrite").parquet(s"$outDir/schema_tree")
+    val tree = catalog.iterator.flatMap(_._2.split(';')).filter(_.nonEmpty).toSeq.distinct
+      .map { leaf =>
+        val c = leaf.lastIndexOf(':')
+        (leaf.substring(0, c), leaf.substring(c + 1))
+      }
+      .sorted.zipWithIndex
+      .map { case ((p, t), ix) => (ix, p, t) }
+    tree.toDF("node_id", "path", "node_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/schema_tree")
 
-    // per-schema columnar tables: each schema group parsed with its OWN
-    // inferred schema (the reference's per-schema ColumnWriters); the schema
-    // catalog is driver-resident exactly like the reference's SchemaMap
-    val ids = spark.read.parquet(s"$outDir/schemas")
-      .select("schema_id").collect().map(_.getString(0))
-    val tableSchemas = ids.map { id =>
-      val sub = shaped.filter(col("schema_id") === id) // partition-pruned read
-        .select(col("_raw")).as[String]
-      val tbl = spark.read.json(sub)
-      tbl.write.mode("overwrite").parquet(s"$outDir/tables/schema=$id")
-      id -> tbl.schema.json
+    // derived per-schema Spark schema (so search re-parses records without
+    // inference); merged across records via the shape-widening rules
+    val tableSchemas = catalog.toSeq.map { case (id, descriptor, _, _, _, shapeSets) =>
+      val merged = shapeSets.iterator.filter(_.nonEmpty)
+        .flatMap(_.split('\u0001'))
+        .map { e => val eq = e.indexOf('='); (e.substring(0, eq), e.substring(eq + 1)) }
+        .foldLeft(Map.empty[String, String]) { case (m, (p, s)) =>
+          m.updated(p, m.get(p).map(JsonShape.mergeShape(_, s)).getOrElse(s))
+        }
+      (id, deriveStructType(descriptor, merged).json)
     }
-    // catalog the inferred Spark schema per schema_id so search can re-parse
-    // records (aligned with their metadata columns) without re-inference
-    tableSchemas.toSeq.toDF("schema_id", "spark_schema")
-      .write.mode("overwrite").parquet(s"$outDir/table_schemas")
-    Result(shaped.count(), ids.length.toLong)
+    tableSchemas.toDF("schema_id", "spark_schema")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/table_schemas")
+
+    Result(catalog.iterator.map(_._3).sum, catalog.length.toLong)
   }
 
-  /** Reads one schema's columnar table. */
-  def table(spark: SparkSession, outDir: String, schemaId: String): DataFrame =
-    spark.read.parquet(s"$outDir/tables/schema=$schemaId")
+  /** One schema's typed columnar view: the partition-pruned records parsed
+    * through the derived StructType (no inference). */
+  def table(spark: SparkSession, outDir: String, schemaId: String): DataFrame = {
+    val schemaJson = spark.read.parquet(s"$outDir/table_schemas")
+      .filter(col("schema_id") === schemaId)
+      .select("spark_schema").collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"unknown schema $schemaId"))
+      .getString(0)
+    val recSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    spark.read.parquet(s"$outDir/records")
+      .filter(col("schema_id") === schemaId)
+      .withColumn("_rec", from_json(col("_raw"), recSchema))
+      .select(col("_rec.*"))
+  }
 
   /** Schema ids whose descriptor contains a leaf path matching `pathGlob`
     * (wildcard per segment) — SchemaMatch.cpp column-descriptor resolution
@@ -119,39 +288,145 @@ object JsonPipeline {
       .map(_.getString(0)).toSeq.sorted
   }
 
+  private case class CatalogEntry(schemaId: String, descriptor: String,
+                                  minTs: Option[Long], maxTs: Option[Long],
+                                  sparkSchema: StructType)
+
+  private def loadCatalog(spark: SparkSession, outDir: String): Seq[CatalogEntry] = {
+    val schemaJsons = spark.read.parquet(s"$outDir/table_schemas")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.read.parquet(s"$outDir/schemas")
+      .select("schema_id", "descriptor", "min_ts", "max_ts").collect()
+      .map { r =>
+        CatalogEntry(r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          DataType.fromJson(schemaJsons(r.getString(0))).asInstanceOf[StructType])
+      }
+      .sortBy(_.schemaId).toSeq
+  }
+
   /**
    * KQL search across every discovered schema — the clp_s schema-pruned
-   * search: each schema's records re-parse through the cataloged Spark
-   * schema (partition-pruned read, no re-inference) with the archive's
-   * range-index metadata columns alongside, and the per-schema predicate
-   * runs over the typed columns (search/SchemaMatch.cpp + Output.cpp:35-131,
-   * QueryRunner). Filters whose columns a schema lacks fold to false for
-   * that schema — negated ones included (SchemaMatch existence rule, see
-   * [[graft.search.KqlCompiler]]). Results are the union over matched
-   * schemas, restricted to `select` columns present in each.
+   * search: each schema's records re-parse through the DERIVED Spark schema
+   * (partition-pruned read, no re-inference) with the archive's range-index
+   * metadata columns alongside, and the per-schema predicate runs over the
+   * typed columns (search/SchemaMatch.cpp + Output.cpp:35-131, QueryRunner).
+   * Filters whose columns a schema lacks fold to false for that schema —
+   * negated ones included (SchemaMatch existence rule, see
+   * [[graft.search.KqlCompiler]]).
+   *
+   * Timestamp range (`tsLo`/`tsHi`, epoch millis, inclusive): evaluated
+   * against the per-schema min/max range index BEFORE any read — schemas
+   * that cannot match (disjoint range, or no timestamp at all) are pruned at
+   * plan time (EvaluateTimestampIndex.cpp) — and injected as a `$_ts`
+   * predicate on the survivors (AddTimestampConditions.hpp:15-34).
+   *
+   * `selectCols` are resolved per schema as wildcard column paths
+   * (search/Projection.cpp): each pattern binds to every matching column of
+   * each schema; schemas lacking a projected column contribute null for it
+   * (never silently dropped); name-sharing columns with irreconcilable types
+   * across schemas widen (numeric→double, else string).
    */
   def kqlSearch(spark: SparkSession, outDir: String, kql: String,
-                selectCols: Seq[String]): DataFrame = {
+                selectCols: Seq[String],
+                tsLo: Option[Long] = None, tsHi: Option[Long] = None): DataFrame = {
     val ast = graft.search.Kql.parse(kql) match {
       case Right(a) => a
       case Left(err) => throw new IllegalArgumentException(s"KQL parse error: $err")
     }
+    val hasTsFilter = tsLo.isDefined || tsHi.isDefined
+
+    def emptyResult: DataFrame = {
+      val fields = selectCols.filterNot(_.contains("*"))
+        .map(c => StructField(c, StringType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields))
+    }
+
+    // plan-time range-index pruning (EvaluateTimestampIndex) happens BEFORE
+    // the records store is even opened — a fully-out-of-range query (or a
+    // time-bounded query over an archive ingested without a timestamp key,
+    // whose ranges are all null — AddTimestampConditions) compiles to an
+    // empty local relation, no file scan at all
+    val catalog = loadCatalog(spark, outDir).filter { e =>
+      !hasTsFilter ||
+        (e.minTs.isDefined && e.maxTs.isDefined &&
+          tsLo.forall(lo => e.maxTs.get >= lo) && tsHi.forall(hi => e.minTs.get <= hi))
+    }
+    if (catalog.isEmpty) return emptyResult
+
     val records = spark.read.parquet(s"$outDir/records")
     val metaCols = records.columns.filter(_.startsWith("$")).toSeq
-    val tblSchemas = spark.read.parquet(s"$outDir/table_schemas")
-      .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
-    val parts = tblSchemas.toSeq.flatMap { case (id, schemaJson) =>
-      val recSchema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val df = records.filter(col("schema_id") === id) // partition-pruned
-        .withColumn("_rec", from_json(col("_raw"), recSchema))
+    if (hasTsFilter && !metaCols.contains("$_ts")) return emptyResult
+
+    // per-schema typed frames + predicate
+    val frames = catalog.map { e =>
+      val df = records.filter(col("schema_id") === e.schemaId) // partition-pruned
+        .withColumn("_rec", from_json(col("_raw"), e.sparkSchema))
         .select(metaCols.map(m => col(s"`$m`")) :+ col("_rec.*"): _*)
-      val hasAll = selectCols.forall(c => df.columns.contains(c))
-      if (!hasAll) None
-      else Some(df.filter(graft.search.KqlCompiler.compile(ast, df.schema))
-        .select(selectCols.map(col): _*))
+      val kqlPred = graft.search.KqlCompiler.compile(ast, df.schema)
+      val tsPred = (tsLo.map(col("`$_ts`") >= _) ++ tsHi.map(col("`$_ts`") <= _))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      (e, df.filter(kqlPred && tsPred))
     }
-    parts.reduceOption(_ unionByName _)
-      .getOrElse(spark.emptyDataFrame)
+
+    // Projection.cpp: resolve each pattern against each schema's columns
+    val resolvedPerSchema: Seq[(DataFrame, Seq[(String, DataType)])] = frames.map {
+      case (_, df) =>
+        (df, graft.search.KqlCompiler.resolveProjection(df.schema, selectCols))
+    }
+    val outTypes = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    resolvedPerSchema.foreach { case (_, cols) =>
+      cols.foreach { case (nm, dt) =>
+        outTypes.get(nm) match {
+          case None => outTypes(nm) = dt
+          case Some(prev) if prev == dt => ()
+          case Some(prev) =>
+            val bothNumeric = Seq(prev, dt).forall(t =>
+              t == LongType || t == DoubleType || t.isInstanceOf[DecimalType])
+            outTypes(nm) = if (bothNumeric) DoubleType else StringType
+        }
+      }
+    }
+    if (outTypes.isEmpty) return emptyResult
+    val outCols = outTypes.toSeq
+
+    val parts = resolvedPerSchema.map { case (df, cols) =>
+      val have = cols.map(_._1).toSet
+      df.select(outCols.collect {
+        case (nm, dt) if have.contains(nm) =>
+          // dotted names navigate into structs here (resolution source);
+          // after the alias the output column is literally named with dots
+          val c = col(nm)
+          val src = cols.find(_._1 == nm).get._2
+          val cast =
+            if (src == dt) c
+            else if (dt == StringType && (src.isInstanceOf[StructType] ||
+              src.isInstanceOf[ArrayType])) to_json(c)
+            else c.cast(dt)
+          cast.as(nm)
+      }: _*)
+    }
+    // union with null-fill for schema-absent projected columns
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(outCols.map { case (nm, _) => col(s"`$nm`") }: _*)
+  }
+
+  /**
+   * Ordered reconstruction of the original JSONL — `clp-s x` with
+   * `--ordered` (JsonConstructor.cpp:64-141 `construct_in_order`): every
+   * record is re-serialized from its typed leaves (document order and exact
+   * numeric literals preserved — the marshalling the reference's
+   * SchemaReader does from its columns) and globally sorted by
+   * log_event_idx; Spark's range-partitioned sort IS the distributed k-way
+   * merge over the per-schema tables. Returns (log_event_idx, json).
+   */
+  def extract(spark: SparkSession, outDir: String): DataFrame = {
+    val reser = udf((raw: String) =>
+      JsonShape.reserialize(JsonShape.typedLeaves(raw)))
+    spark.read.parquet(s"$outDir/records")
+      .select(col("log_event_idx"), reser(col("_raw")).as("json"))
+      .orderBy("log_event_idx")
   }
 }

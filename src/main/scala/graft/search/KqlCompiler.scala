@@ -224,6 +224,35 @@ object KqlCompiler {
   def compile(expr: Kql.Expr, schema: StructType): Column =
     nnf(expr, schema, neg = false)
 
+  /**
+   * Resolves projection patterns against a schema — the clp_s
+   * `--projection` tree walk (search/Projection.cpp:30-95): each pattern is
+   * a (possibly wildcard-per-segment) column path that binds to every
+   * matching node — struct nodes included, array interiors excluded (a
+   * projected array is returned whole). Returns (dotted name, type) in
+   * pattern-then-schema order, deduped.
+   */
+  def resolveProjection(schema: StructType, patterns: Seq[String])
+      : Seq[(String, DataType)] = {
+    def nodes(st: StructType, prefix: Seq[String]): Seq[(Seq[String], DataType)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = prefix :+ f.name
+        f.dataType match {
+          case nested: StructType => (p -> f.dataType) +: nodes(nested, p)
+          case dt => Seq(p -> dt)
+        }
+      }
+    val all = nodes(schema, Nil)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    patterns.foreach { pat =>
+      val segs = pat.split('.').toSeq
+      all.foreach { case (path, dt) =>
+        if (pathMatches(segs, path)) out.getOrElseUpdate(path.mkString("."), dt)
+      }
+    }
+    out.toSeq
+  }
+
   /** Parse + filter in one step. */
   def filter(df: DataFrame, kql: String): DataFrame =
     Kql.parse(kql) match {

@@ -66,4 +66,81 @@ class JsonShapeSpec extends AnyFunSuite {
   test("md5 hex matches the engine convention (lowercase, 32 chars)") {
     assert(JsonShape.md5Hex("abc") == "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("timestamp key types the designated string leaf as DateString") {
+    val ls = JsonShape.typedLeaves("""{"ts":"2024-01-02 03:04:00","msg":"a b"}""",
+      timestampKey = Some("ts"))
+    assert(ls.map(l => (l.path, l.nodeType)) ==
+      List("ts" -> "DateString", "msg" -> "ClpString"))
+    // numeric timestamp keys keep their numeric type (reference
+    // adjust_archive_node_type_for_timestamp: only string family converts)
+    val num = JsonShape.typedLeaves("""{"ts":1704164640}""", timestampKey = Some("ts"))
+    assert(num.head.nodeType == "Integer")
+    // nested dotted timestamp key
+    val nested = JsonShape.typedLeaves("""{"a":{"t":"2024-01-02T03:04:00"}}""",
+      timestampKey = Some("a.t"))
+    assert(nested.head.nodeType == "DateString")
+  }
+
+  test("array element shapes: scalars, structs, nesting, widening merges") {
+    assert(JsonShape.shapeOf("""[1,2,3]""") == "[L]")
+    assert(JsonShape.shapeOf("""[1,2.5]""") == "[D]")
+    assert(JsonShape.shapeOf("""["a","b c"]""") == "[S]")
+    assert(JsonShape.shapeOf("""[1,"a"]""") == "[S]")
+    assert(JsonShape.shapeOf("""[null,true]""") == "[B]")
+    assert(JsonShape.shapeOf("""[]""") == "[E]")
+    assert(JsonShape.shapeOf("""[{"a":999},{"b":1001}]""") == "[{a:L;b:L}]")
+    assert(JsonShape.shapeOf("""[[1,2],[3]]""") == "[[L]]")
+    assert(JsonShape.shapeOf("""[{"a":1},5]""") == "[X]")
+    assert(JsonShape.mergeShape("[E]", "[L]") == "[L]")
+    assert(JsonShape.mergeShape("[{a:L}]", "[{a:D;b:S}]") == "[{a:D;b:S}]")
+    assert(JsonShape.shapeFields("{a:L;b:{c:[S]}}") == Map("a" -> "L", "b" -> "{c:[S]}"))
+  }
+
+  test("reserialize round-trips canonical records byte-exactly") {
+    val corpus = Seq(
+      """{"id":7,"level":"info","msg":"the fast key order","k":42}""",
+      """{"id":1,"msg":"Msg 1: \"Abc123\""}""",
+      """{"id":4,"msg":"Msg 4: \\Abc123"}""",
+      """{"id":3,"msg":"Msg 3: \nAbc123\t\r"}""",
+      """{"id":2,"meta":{"lang":"en","score":1.5},"msg":"nested one"}""",
+      """{"id":8,"a":{"b":{"c":1},"d":2},"e":3}""",
+      """{"id":9,"tags":["a","es"],"ok":true,"none":null}""",
+      """{"id":10,"arr":[{"a":999},{"b":1001}]}""",
+      """{"f":-1.000000E3,"g":0.000000E+000,"h":5.000000000000001E3}""",
+      """{"empty":{},"after":1}""",
+      """{}""",
+      """5""",
+      """"lone"""",
+      """[1,2,3]""")
+    corpus.foreach { json =>
+      assert(JsonShape.reserialize(JsonShape.typedLeaves(json)) == json, json)
+    }
+  }
+
+  test("structurize-arrays: StructuredArray node plus element child leaves") {
+    val json = """{"arr":[{"a":999},{"b":1001}],"k":1}"""
+    val ls = JsonShape.typedLeaves(json, structurizeArrays = true)
+    assert(ls.map(l => (l.path, l.nodeType)) == List(
+      "arr" -> "StructuredArray",
+      "arr.[].a" -> "Integer",
+      "arr.[].b" -> "Integer",
+      "k" -> "Integer"))
+    // the array node still carries the raw text: reconstruction unaffected
+    assert(JsonShape.reserialize(ls) == json)
+    // scalar and nested-array elements
+    val ls2 = JsonShape.typedLeaves("""{"a":[1,"x",[2]]}""", structurizeArrays = true)
+    assert(ls2.map(l => (l.path, l.nodeType)).toSet == Set(
+      "a" -> "StructuredArray",
+      "a.[]" -> "Integer",
+      "a.[]" -> "VarString",
+      "a.[]" -> "StructuredArray",
+      "a.[].[]" -> "Integer"))
+    // schema identity is finer-grained than the unstructured default
+    val d1 = JsonShape.descriptor("""{"arr":[{"a":1}]}""", structurizeArrays = true)
+    val d2 = JsonShape.descriptor("""{"arr":[{"b":1}]}""", structurizeArrays = true)
+    assert(d1 != d2)
+    assert(JsonShape.descriptor("""{"arr":[{"a":1}]}""") ==
+      JsonShape.descriptor("""{"arr":[{"b":1}]}"""))
+  }
 }

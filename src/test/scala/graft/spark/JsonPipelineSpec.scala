@@ -62,4 +62,143 @@ class JsonPipelineSpec extends SparkSpecBase {
       .as[Long].collect().toSet
     assert(hits2 == Set(0L, 3L))
   }
+
+  // ---- first-class timestamps (timestamp-key + range index + pruning) ----
+
+  private lazy val tsDir = Files.createTempDirectory("graft-jsonl-ts").toString
+  private lazy val tsRoute = {
+    val recs = Seq(
+      """{"id":0,"ts":"2024-01-01 10:00:00","msg":"a b"}""",
+      """{"id":1,"ts":"2024-01-01 11:30:00","msg":"c d"}""",
+      """{"id":2,"ts":"2024-01-02 09:00:00","msg":"e f"}""",
+      """{"id":3,"ts":"2024-01-03 09:00:00","msg":"g h","extra":1}""",
+      """{"id":4,"msg":"no timestamp at all"}"""
+    ).toDF("json")
+    JsonPipeline.route(spark, recs, "json", tsDir,
+      options = JsonPipeline.Options(timestampKey = Some("ts")))
+  }
+  private def epoch(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L
+
+  test("timestamp key lands $_ts and the per-schema min/max range index") {
+    tsRoute // force
+    val recs = spark.read.parquet(s"$tsDir/records")
+    val byId = recs.select(col("log_event_idx"), col("`$_ts`")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(0L).contains(epoch("2024-01-01 10:00:00")))
+    assert(byId(2L).contains(epoch("2024-01-02 09:00:00")))
+    assert(byId(4L).isEmpty)
+    // DateString node in the catalog descriptor; range index populated
+    val schemas = spark.read.parquet(s"$tsDir/schemas").collect()
+    val main = schemas.find(_.getAs[String]("descriptor") ==
+      "id:Integer;msg:ClpString;ts:DateString").get
+    assert(main.getAs[Long]("min_ts") == epoch("2024-01-01 10:00:00"))
+    assert(main.getAs[Long]("max_ts") == epoch("2024-01-02 09:00:00"))
+    val noTs = schemas.find(_.getAs[String]("descriptor") == "id:Integer;msg:ClpString").get
+    assert(noTs.isNullAt(noTs.fieldIndex("min_ts")))
+  }
+
+  test("ts range: tge/tle injection + plan-time schema pruning, zero jobs when disjoint") {
+    tsRoute // force
+    val inRange = JsonPipeline.kqlSearch(spark, tsDir, "msg: *", Seq("id"),
+      tsLo = Some(epoch("2024-01-01 11:00:00")), tsHi = Some(epoch("2024-01-02 12:00:00")))
+      .as[Long].collect().toSet
+    assert(inRange == Set(1L, 2L)) // id 4 (no ts) and out-of-window ids drop
+    // records in schemas whose range misses entirely: pruned BEFORE any
+    // read — the physical plan of a disjoint-range query contains NO file
+    // scan of the records store (EvaluateTimestampIndex semantics)
+    val out = JsonPipeline.kqlSearch(spark, tsDir, "msg: *", Seq("id"),
+      tsLo = Some(epoch("2030-01-01 00:00:00")), tsHi = None)
+    assert(out.count() == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.toLowerCase.contains("parquet"),
+      s"expected plan-time pruning, plan was:\n$plan")
+    // a time-bounded query over an archive without a timestamp key: empty
+    val noTsArchive = JsonPipeline.kqlSearch(spark, outDir, "k : 7", Seq("id"),
+      tsLo = Some(0L))
+    assert(noTsArchive.count() == 0)
+  }
+
+  test("ordered extraction reconstructs the original JSONL byte-exactly") {
+    tsRoute // force
+    val got = JsonPipeline.extract(spark, tsDir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val originals = Seq(
+      """{"id":0,"ts":"2024-01-01 10:00:00","msg":"a b"}""",
+      """{"id":1,"ts":"2024-01-01 11:30:00","msg":"c d"}""",
+      """{"id":2,"ts":"2024-01-02 09:00:00","msg":"e f"}""",
+      """{"id":3,"ts":"2024-01-03 09:00:00","msg":"g h","extra":1}""",
+      """{"id":4,"msg":"no timestamp at all"}""")
+    assert(got.map(_.getString(1)).toSeq == originals)
+  }
+
+  test("zipWithIndex fallback assigns contiguous input-order event indices") {
+    val dir = Files.createTempDirectory("graft-jsonl-zip").toString
+    val recs = Seq.tabulate(50)(i => s"""{"n":$i}""").toDF("json")
+    JsonPipeline.route(spark, recs, "json", dir)
+    val idx = spark.read.parquet(s"$dir/records")
+      .select("log_event_idx").as[Long].collect().sorted.toSeq
+    assert(idx == (0L until 50L))
+    val back = JsonPipeline.extract(spark, dir).collect().map(_.getString(1)).toSeq
+    assert(back == Seq.tabulate(50)(i => s"""{"n":$i}"""))
+  }
+
+  test("route is O(1) Spark jobs at any schema count (1000 distinct schemas)") {
+    val dir = Files.createTempDirectory("graft-jsonl-many").toString
+    val recs = Seq.tabulate(1000)(i => s"""{"k$i":$i,"msg":"m $i"}""").toDF("json")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res =
+      try {
+        val r = JsonPipeline.route(spark, recs, "json", dir,
+          options = JsonPipeline.Options(orderCol = None))
+        Thread.sleep(300) // let listener events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(res.nSchemas == 1000L)
+    assert(jobs.get() <= 10, s"route must be O(1) jobs, saw ${jobs.get()}")
+  }
+
+  test("wildcard projection: per-schema resolution with null-fill") {
+    result // force
+    val out = JsonPipeline.kqlSearch(spark, outDir, "k >= 1", Seq("id", "meta.*"))
+    assert(out.columns.toSeq == Seq("id", "meta.lang", "meta.score"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(rows == Set(
+      (0L, null, null), (1L, null, null),
+      (2L, "en", 1.5), (3L, "fr", 2.5)))
+  }
+
+  test("structurize-arrays: finer schema identity, array search still works") {
+    val dir = Files.createTempDirectory("graft-jsonl-struct").toString
+    val recs = Seq(
+      """{"idx":7,"arr":[{"a":999},{"b":1001}]}""",
+      """{"idx":8,"arr":[{"a":1},{"b":2}]}""",
+      """{"idx":9,"arr":[{"c":5}]}""").toDF("json")
+    val r = JsonPipeline.route(spark, recs, "json", dir,
+      options = JsonPipeline.Options(structurizeArrays = true))
+    // {a,b}-element arrays and {c}-element arrays are DIFFERENT schemas now
+    assert(r.nSchemas == 2)
+    val tree = spark.read.parquet(s"$dir/schema_tree")
+      .select("path", "node_type").collect().map(r2 => (r2.getString(0), r2.getString(1)))
+    assert(tree.contains(("arr", "StructuredArray")))
+    assert(tree.contains(("arr.[].a", "Integer")))
+    val hits = JsonPipeline.kqlSearch(spark, dir, "arr.b > 1000", Seq("idx"))
+      .as[Long].collect().toSet
+    assert(hits == Set(7L))
+    // extraction still byte-exact in structurize mode
+    val back = JsonPipeline.extract(spark, dir).collect().map(_.getString(1)).toSeq
+    assert(back == Seq(
+      """{"idx":7,"arr":[{"a":999},{"b":1001}]}""",
+      """{"idx":8,"arr":[{"a":1},{"b":2}]}""",
+      """{"idx":9,"arr":[{"c":5}]}"""))
+  }
 }
