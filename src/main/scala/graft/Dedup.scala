@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ClpFunctions.{minhash_sigs, simhash64, vec_dot}
+
+/**
+ * Production-width near-duplicate detection — the parameterized twins of the
+ * demo-width oracle-gate entries in [[GraftQueries]] (which stay at 4
+ * MinHash fns / 8-bit SimHash / 4 LSH planes because their DuckDB oracles
+ * mirror every hash constant). These APIs carry the widths a real 100 TB
+ * dedup run uses:
+ *
+ *   - banded MinHash (n fns, bands of r rows): candidate probability
+ *     follows the 1-(1-j^r)^(n/r) S-curve, so recall at a target Jaccard is
+ *     a KNOB, not an accident; all n signatures compute in ONE codegen'd
+ *     pass ([[graft.functions.MinhashSigsExpr]])
+ *   - 64-bit SimHash ([[graft.functions.Simhash64Expr]])
+ *   - OR-amplified hyperplane LSH for embeddings (L tables × k planes):
+ *     recall 1-(1-p^k)^L rises with L at fixed precision-per-table
+ *
+ * All stages follow the scale shape the round-2 verdict blessed: banded
+ * bucket join on NARROW keys, pair-dedup before the payload re-join, the
+ * exact kernel (Jaccard / cosine) only per candidate pair.
+ */
+object Dedup {
+
+  /** Deterministic MinHash family (splitmix-derived, odd multipliers). */
+  def minhashFamily(n: Int, mod: Long = 1000033L): (Array[Long], Array[Long]) = {
+    def mix(v: Long): Long = {
+      var z = v + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.tabulate(n)(i => ((mix(2L * i + 1).abs % (mod - 2)) | 1L))
+    val b = Array.tabulate(n)(i => mix(2L * i + 2).abs % mod)
+    (a, b)
+  }
+
+  /**
+   * Banded MinHash + LSH near-dup pairs over a (id, text) table:
+   * shingle → n signatures (one pass) → band keys (xxhash of r-slices) →
+   * bucket join on narrow keys → exact-Jaccard verify per candidate.
+   *
+   * @param nFns     family size (production: 128)
+   * @param bandRows rows per band `r` (bands b = nFns / r); tune the
+   *                 1-(1-j^r)^b S-curve to the target similarity
+   * @param jMin     exact-Jaccard verify threshold
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      nFns: Int, bandRows: Int, jMin: Double): DataFrame = {
+    implicit val spark: SparkSession = docs.sparkSession
+    require(nFns % bandRows == 0, "nFns must be a multiple of bandRows")
+    val nBands = nFns / bandRows
+    val (fa, fb) = minhashFamily(nFns)
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(GraftQueries.shingles(split(col(textCol), " "))).as("sh"))
+      .withColumn("sigs", minhash_sigs(col("sh"), fa, fb, 1000033L))
+    // band keys: xxhash64 over each band's signature slice — one narrow
+    // (band, key, id) stream into the bucket join, shingles stay behind
+    val banded = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), bnd =>
+        xxhash64(bnd, slice(col("sigs"), bnd * bandRows + 1, lit(bandRows)))))
+        .as(Seq("band", "key")))
+    val pairs = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")),
+        Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val shTbl = base.select(col("doc_id"), col("sh"))
+    pairs
+      .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("j", round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double"), 4))
+      .filter(col("j") >= jMin)
+      .select("a_id", "b_id", "j")
+  }
+
+  /** 64-bit (or narrower) SimHash column over a token array. */
+  def simhash(words: Column, bits: Int = 64): Column = {
+    require(bits >= 1 && bits <= 64)
+    simhash64(words, lit(bits))
+  }
+
+  /**
+   * OR-amplified hyperplane LSH near-dup pairs over a (vec_id, embedding)
+   * table: L independent tables of k planes each; a pair is a candidate if
+   * co-bucketed in ANY table; the exact cosine kernel verifies candidates.
+   * Recall ≈ 1-(1-p^k)^L where p = 1 - θ/π.
+   */
+  def embeddingLshPairs(emb: DataFrame, tables: Int, planesPerTable: Int,
+                        seed: Long, cosMin: Double): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("norm", sqrt(vec_dot(col("emb"), col("emb"))))
+      .select(col("vec_id"), transform(col("emb"), x => x / col("norm")).as("emb"))
+    val tableCols: Seq[Column] = (0 until tables).map { t =>
+      val planes = KnnLsh.hyperplanes(planesPerTable, dim = 64, seed = seed + 1000L * t)
+      struct(lit(t).as("tbl"), KnnLsh.bucketCol(col("emb"), planes).as("bucket"))
+    }
+    val bucketed = e
+      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val pairs = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
+      .join(bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    pairs
+      .join(e.select(col("vec_id").as("a_id"), col("emb").as("a_emb")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("emb").as("b_emb")), Seq("b_id"))
+      .withColumn("cos", round(vec_dot(col("a_emb"), col("b_emb")), 4))
+      .filter(col("cos") >= cosMin)
+      .select("a_id", "b_id", "cos")
+  }
+}

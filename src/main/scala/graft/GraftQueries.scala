@@ -36,7 +36,7 @@ object GraftQueries {
     * Guarded for <3 tokens: sequence(1, 0) would auto-step -1 in Spark while
     * DuckDB's generate_series yields an empty list — match the empty-series
     * semantics (and avoid element_at index errors). */
-  private def shingles(words: Column): Column =
+  private[graft] def shingles(words: Column): Column =
     when(size(words) >= 3,
       transform(sequence(lit(1), size(words) - 2), i =>
         concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))

@@ -29,6 +29,25 @@ object ClpEncoding {
   @inline def isPlaceholder(c: Char): Boolean =
     c == IntPlaceholder || c == DictPlaceholder || c == FloatPlaceholder
 
+  /** The placeholder kind sequence of a logtype — 'i'/'f'/'d' per variable
+    * in CLP order, escapes skipped. Drives splitting a merged var stream
+    * back into (encoded vars, dict ids) without decoding. */
+  def placeholderKinds(logtype: String): Array[Char] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Char](8)
+    var i = 0
+    while (i < logtype.length) {
+      val c = logtype.charAt(i)
+      if (c == EscapeChar) i += 2
+      else {
+        if (c == IntPlaceholder) out += 'i'
+        else if (c == FloatPlaceholder) out += 'f'
+        else if (c == DictPlaceholder) out += 'd'
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
   /** Non-delimiters are exactly: `+ - . 0-9 A-Z \ _ a-z`; everything else
     * (including all non-ASCII) delimits tokens. */
   @inline def isDelim(c: Char): Boolean =

@@ -73,6 +73,88 @@ object ClpRuntime {
     new GenericArrayData(ClpEncoding.mergeVars(logtype.toString, enc, ids))
   }
 
+  /** Splits the merged CLP-order var stream back into (encoded vars,
+    * dictionary ids) by the logtype's placeholder kinds — one walk, the
+    * decode-side inverse of mergeVars. */
+  def splitVars(logtype: UTF8String, vars: ArrayData): InternalRow = {
+    val kinds = ClpEncoding.placeholderKinds(logtype.toString)
+    val n = math.min(kinds.length, if (vars == null) 0 else vars.numElements())
+    var nd = 0
+    var i = 0
+    while (i < n) { if (kinds(i) == 'd') nd += 1; i += 1 }
+    val enc = new Array[Long](n - nd)
+    val ids = new Array[Long](nd)
+    var e = 0
+    var d = 0
+    i = 0
+    while (i < n) {
+      if (kinds(i) == 'd') { ids(d) = vars.getLong(i); d += 1 }
+      else { enc(e) = vars.getLong(i); e += 1 }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(enc), new GenericArrayData(ids)))
+  }
+
+  /** Dictionary-id → value resolution through a broadcast inverse dict (the
+    * driver-map decode mode); kept codegen-able by carrying the broadcast as
+    * a plan reference object. */
+  def dictValues(bc: org.apache.spark.broadcast.Broadcast[Map[Long, String]],
+                 ids: ArrayData): ArrayData = {
+    val m = bc.value
+    val n = if (ids == null) 0 else ids.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { out(i) = UTF8String.fromString(m(ids.getLong(i))); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All n MinHash signatures in ONE pass over the shingle set — the
+    * production-width family (n=128+) would be n interpreted HOF aggregates
+    * as Column expressions; here it is one codegen'd walk,
+    * O(shingles × fns) integer ops. */
+  def minhashSigs(sh: ArrayData, a: Array[Long], b: Array[Long], mod: Long): ArrayData = {
+    val nFns = a.length
+    val mins = Array.fill(nFns)(Long.MaxValue)
+    val nSh = if (sh == null) 0 else sh.numElements()
+    var i = 0
+    while (i < nSh) {
+      val bytes = sh.getUTF8String(i).getBytes
+      val h = (scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c).toLong
+        & 0x7fffffffL) % 1000003L
+      var j = 0
+      while (j < nFns) {
+        val v = (a(j) * h + b(j)) % mod
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Wide SimHash (up to 64 bits): per-bit majority vote of token-hash bits,
+    * one codegen'd walk. */
+  def simhash64(words: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val n = if (words == null) 0 else words.numElements()
+    var i = 0
+    while (i < n) {
+      val bytes = words.getUTF8String(i).getBytes
+      var h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x85ebca6b).toLong
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   def vecDot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -143,6 +225,78 @@ case class SubseqMatchExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SubseqMatchExpr =
     copy(l, r)
   override def prettyName: String = "subseq_match"
+}
+
+/** `clp_split_vars(logtype, vars)` → struct<enc_vars: array<long>,
+  * dict_ids: array<long>>: the decode-side inverse of clp_merge_vars — one
+  * placeholder walk instead of two interpreted UDF passes (SURVEY §2.6 J3). */
+case class ClpSplitVarsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ClpSplitVarsExpr.outputType
+  override def nullSafeEval(l: Any, v: Any): Any =
+    ClpRuntime.splitVars(l.asInstanceOf[UTF8String], v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, v) => s"graft.functions.ClpRuntime.splitVars($l, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ClpSplitVarsExpr =
+    copy(l, r)
+  override def prettyName: String = "clp_split_vars"
+}
+
+object ClpSplitVarsExpr {
+  val outputType: StructType = StructType(Seq(
+    StructField("enc_vars", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("dict_ids", ArrayType(LongType, containsNull = false), nullable = false)))
+}
+
+/** `dict_values(ids)` with a broadcast inverse dictionary bound at plan
+  * time — the driver-map decode join as a codegen'd expression (the
+  * broadcast rides the plan as a reference object, value lookups stay in
+  * whole-stage codegen). */
+case class DictValuesExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Map[Long, String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(ids: Any): Any =
+    ClpRuntime.dictValues(bc, ids.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcDictInv", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.ClpRuntime.dictValues($bcRef, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): DictValuesExpr =
+    copy(child = c)
+  override def prettyName: String = "dict_values"
+}
+
+/** `minhash_sigs(shingles)` with the hash family bound at plan time —
+  * all production-width signatures in one codegen'd pass. */
+case class MinhashSigsExpr(child: Expression, a: Array[Long], b: Array[Long], mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(sh: Any): Any =
+    ClpRuntime.minhashSigs(sh.asInstanceOf[ArrayData], a, b, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ClpRuntime.minhashSigs($c, $aRef, $bRef, ${mod}L)")
+  }
+  override protected def withNewChildInternal(c: Expression): MinhashSigsExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sigs"
+}
+
+/** `simhash64(words, bits)` — wide SimHash as one codegen'd vote pass. */
+case class Simhash64Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(w: Any, bits: Any): Any =
+    ClpRuntime.simhash64(w.asInstanceOf[ArrayData], bits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, bits) => s"graft.functions.ClpRuntime.simhash64($w, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Simhash64Expr =
+    copy(l, r)
+  override def prettyName: String = "simhash64"
 }
 
 /** `clp_merge_vars(logtype, encoded_vars, dict_ids)` → the single CLP-order
@@ -252,6 +406,8 @@ object ClpFunctions {
       WildcardMatchExpr(es(0), es(1), if (es.size > 2) es(2) else Literal(true)), "built-in")
     r.createOrReplaceTempFunction("subseq_match", es => SubseqMatchExpr(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("clp_merge_vars", es => ClpMergeVarsExpr(es(0), es(1), es(2)), "built-in")
+    r.createOrReplaceTempFunction("clp_split_vars", es => ClpSplitVarsExpr(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("simhash64", es => Simhash64Expr(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("ts_pattern_parse", es => TsPatternParseExpr(es.head), "built-in")
     r.createOrReplaceTempFunction("ts_pattern_format", es => TsPatternFormatExpr(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("vec_dot", es => VecDotExpr(es(0), es(1)), "built-in")
@@ -268,6 +424,33 @@ object ClpFunctions {
     call_function("subseq_match", vars, queryVars)
   def clp_merge_vars(logtype: Column, encodedVars: Column, dictIds: Column): Column =
     call_function("clp_merge_vars", logtype, encodedVars, dictIds)
+  def clp_split_vars(logtype: Column, vars: Column): Column =
+    call_function("clp_split_vars", logtype, vars)
+  def simhash64(words: Column, bits: Column): Column =
+    call_function("simhash64", words, bits)
+
+  /** Plan-time-bound MinHash family (production widths, one codegen'd pass);
+    * registers a capturing expression like [[clp_encode_schema]]. */
+  def minhash_sigs(shingles: Column, a: Array[Long], b: Array[Long], mod: Long)(
+      implicit spark: org.apache.spark.sql.SparkSession): Column = {
+    val fname = "minhash_sigs_" + Integer.toHexString(
+      java.util.Arrays.hashCode(a) * 31 + java.util.Arrays.hashCode(b))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, es => MinhashSigsExpr(es.head, a, b, mod), "built-in")
+    call_function(fname, shingles)
+  }
+
+  /** Broadcast-bound dictionary-id → value resolution; the broadcast is
+    * plan-time configuration, so this registers a capturing expression like
+    * [[clp_encode_schema]] does. */
+  def dict_values(ids: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Map[Long, String]])(
+      implicit spark: org.apache.spark.sql.SparkSession): Column = {
+    val fname = "dict_values_" + Integer.toHexString(System.identityHashCode(bc))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, es => DictValuesExpr(es.head, bc), "built-in")
+    call_function(fname, ids)
+  }
   def ts_pattern_parse(text: Column): Column = call_function("ts_pattern_parse", text)
   def ts_pattern_format(patternId: Column, epochMs: Column): Column =
     call_function("ts_pattern_format", patternId, epochMs)

@@ -287,7 +287,13 @@ object ClpPipeline {
    */
   private def encodeAndEnrichDistributed(parsed: DataFrame, logtypeDict: DataFrame,
                                          varDict: DataFrame, lookup: DataFrame,
-                                         cfg: Config): DataFrame = {
+                                         cfg: Config): DataFrame =
+    resolveDistributed(parsed, logtypeDict, varDict, cfg).transform(enrich(lookup))
+
+  /** The distributed resolution core, shared with the streaming pipeline
+    * (which appends dict deltas and routes without the enrichment join). */
+  private[graft] def resolveDistributed(parsed: DataFrame, logtypeDict: DataFrame,
+                                        varDict: DataFrame, cfg: Config): DataFrame = {
     val key = Seq("conv_id", "turn_idx")
     val ltResolved = parsed.select(col("conv_id"), col("turn_idx"), col("logtype"))
       .join(logtypeDict.select("logtype", "logtype_id", "sink_id"), Seq("logtype"))
@@ -320,7 +326,6 @@ object ClpPipeline {
         col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("n_bytes"), col("logtype_id"), col("sink_id"), col("vars"),
         col("dict_vars"), col("encoded_vars"), col("logtype"))
-      .transform(enrich(lookup))
   }
 
   /** J4 enrichment: broadcast (role, tool) lookup join, shared by both modes. */
@@ -493,19 +498,6 @@ object ClpPipeline {
   }
 
   /** Placeholder kind per variable position: 'i' int, 'f' float, 'd' dict. */
-  def placeholderKinds(logtype: String): Array[Char] = {
-    val out = new scala.collection.mutable.ArrayBuffer[Char](8)
-    var i = 0
-    while (i < logtype.length) {
-      val c = logtype.charAt(i)
-      if (c == graft.core.ClpEncoding.EscapeChar) i += 2
-      else {
-        if (c == graft.core.ClpEncoding.IntPlaceholder) out += 'i'
-        else if (c == graft.core.ClpEncoding.FloatPlaceholder) out += 'f'
-        else if (c == graft.core.ClpEncoding.DictPlaceholder) out += 'd'
-        i += 1
-      }
-    }
-    out.toArray
-  }
+  def placeholderKinds(logtype: String): Array[Char] =
+    graft.core.ClpEncoding.placeholderKinds(logtype)
 }

@@ -45,21 +45,17 @@ final class ClpSearch(spark: SparkSession, outDir: String,
     else withDecodedTextDistributed(rows)
 
   private def withDecodedTextBroadcast(rows: DataFrame): DataFrame = {
+    // fully codegen'd decode: ONE placeholder walk splits the merged var
+    // stream (clp_split_vars), the broadcast inverse dict rides the plan as
+    // a reference object (dict_values) — no interpreted UDF on the hot path
+    implicit val s: SparkSession = spark
     val bcInv = spark.sparkContext.broadcast(varDictInv)
-    val dictValsOf = udf((logtype: String, vars: Seq[Long]) => {
-      val kinds = ClpPipeline.placeholderKinds(logtype)
-      kinds.iterator.zip(vars.iterator).collect { case ('d', v) => bcInv.value(v) }.toSeq
-    })
-    val encValsOf = udf((logtype: String, vars: Seq[Long]) => {
-      val kinds = ClpPipeline.placeholderKinds(logtype)
-      kinds.iterator.zip(vars.iterator).collect { case (k, v) if k != 'd' => v }.toSeq
-    })
     rows
       .join(broadcast(logtypeDictDf), Seq("logtype_id"))
-      .withColumn("text", clp_decode(col("logtype"),
-        encValsOf(col("logtype"), col("vars")),
-        dictValsOf(col("logtype"), col("vars"))))
-      .drop("logtype")
+      .withColumn("_sv", graft.functions.ClpFunctions.clp_split_vars(col("logtype"), col("vars")))
+      .withColumn("text", clp_decode(col("logtype"), col("_sv.enc_vars"),
+        graft.functions.ClpFunctions.dict_values(col("_sv.dict_ids"), bcInv)))
+      .drop("logtype", "_sv")
   }
 
   /** Distributed decode (J3 as a real join): posexplode the var stream,

@@ -9,24 +9,39 @@ import graft.pipeline.{ClpPipeline, TranscriptGen}
 /**
  * Structured-Streaming ingestion — the reference's real-time IR path
  * (components/core/src/clp/ffi/ir_stream/Serializer.cpp; SURVEY §2.7 W3/W5)
- * re-expressed as readStream → clp_encode → foreachBatch {merge dictionary
+ * re-expressed as readStream → clp_encode → foreachBatch {append dictionary
  * delta, route append}.
  *
  * Dictionary state grows monotonically across batches exactly like the
  * reference's single-writer in-memory dicts: within a batch, new values are
  * sorted before ID assignment (deterministic); across batches, IDs continue
- * from the current max — so replaying the same batch sequence reproduces the
- * same dictionary (the streaming twin of the batch determinism rule).
+ * from the current max, and each batch APPENDS only its delta (new values) —
+ * never a rewrite of the accumulated dictionary. So replaying the same batch
+ * sequence reproduces the same dictionary (the streaming twin of the batch
+ * determinism rule) and per-batch dictionary I/O is O(delta), not O(dict).
+ *
+ * The dictionary path is count-gated exactly like the batch pipeline
+ * ([[ClpPipeline.Config.driverDictThreshold]]): at or below the threshold,
+ * driver maps mirror CLP's memory-resident writer dicts (hydrated once per
+ * engine instance, extended incrementally); above it NOTHING dict-sized
+ * touches the driver — new values are discovered by a distributed anti-join
+ * against the dict parquet, IDs assigned by sort + zipWithIndex offset from
+ * the current max, and row resolution reuses the batch pipeline's hot-head
+ * broadcast + shuffle-tail join ([[ClpPipeline.resolveDistributed]]).
  */
-final class StreamingPipeline(spark: SparkSession, outDir: String) {
+final class StreamingPipeline(spark: SparkSession, outDir: String,
+                              driverDictThreshold: Long = ClpPipeline.DriverDictThreshold) {
 
-  /** Dictionary state cached across micro-batches in this engine instance —
-    * the streaming twin of the reference's memory-resident writer dicts;
-    * re-hydrated from parquet once on the first batch (and after restart),
-    * not re-collected per batch. */
+  /** Driver-mode dictionary state cached across micro-batches in this engine
+    * instance — the streaming twin of the reference's memory-resident writer
+    * dicts; re-hydrated from parquet once on the first batch (and after
+    * restart), extended per batch, never used above the threshold. */
   private var dictState: Option[(Map[String, Long], Map[String, Long])] = None
 
-  /** Merges a micro-batch of turns; returns rows appended.
+  private val varDictPath = s"$outDir/var_dict"
+  private val ltDictPath = s"$outDir/logtype_dict"
+
+  /** Merges a micro-batch of turns.
     *
     * Idempotent under foreachBatch's at-least-once replay: a committed batch
     * leaves a `_batches/<id>` marker (written only after the routed append
@@ -34,11 +49,11 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
     * duplicates — the micro-batch twin of the batch pipeline's per-stage
     * lineage manifests. A crash in the window between the append and the
     * marker replays the batch and CAN leave a duplicate copy of its rows;
-    * because the dict merge is monotone and the batch content identical,
-    * the duplicates are byte-identical rows under the same
-    * (conv_id, turn_idx) key — [[readRouted]] collapses them exactly-once. */
+    * because the dict merge is monotone (a replay's values already exist, so
+    * its delta is empty) and the batch content identical, the duplicates are
+    * byte-identical rows under the same (conv_id, turn_idx) key —
+    * [[readRouted]] collapses them exactly-once. */
   def processBatch(turns: DataFrame, batchId: Long): Unit = {
-    import spark.implicits._
     val marker = new java.io.File(s"$outDir/_batches/$batchId")
     if (marker.exists()) return
     val parsed = ClpPipeline.parse(turns)
@@ -46,14 +61,38 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
       // just materialize via cache for the two passes below
       .cache()
 
-    // ---- dictionary deltas (var + logtype), monotone IDs ----
-    val varDictPath = s"$outDir/var_dict"
-    val ltDictPath = s"$outDir/logtype_dict"
     val haveDicts = new java.io.File(s"$varDictPath/_SUCCESS").exists()
+    // cheap cardinality gate BEFORE anything dict-sized is materialized —
+    // parquet row counts come from footers, no scan
+    val dictCount: Long = dictState match {
+      case Some((v, l)) => math.max(v.size.toLong, l.size.toLong)
+      case None if haveDicts =>
+        math.max(spark.read.parquet(varDictPath).count(),
+          spark.read.parquet(ltDictPath).count())
+      case None => 0L
+    }
+
+    val routed =
+      if (dictCount <= driverDictThreshold) processDriverMode(parsed, haveDicts)
+      else { dictState = None; processDistributedMode(parsed, haveDicts) }
+
+    routed
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("sink_id").parquet(s"$outDir/routed")
+    parsed.unpersist()
+    marker.mkdirs()
+  }
+
+  /** CLP's memory-resident-dict shape: driver maps + broadcast resolution;
+    * dictionary writes are still delta APPENDS (new values only). */
+  private def processDriverMode(parsed: DataFrame, haveDicts: Boolean): DataFrame = {
+    import spark.implicits._
     val (oldVars, oldLts) = dictState.getOrElse {
       if (haveDicts)
-        (spark.read.parquet(varDictPath).select("value", "var_id").as[(String, Long)].collect().toMap,
-         spark.read.parquet(ltDictPath).select("logtype", "logtype_id").as[(String, Long)].collect().toMap)
+        (spark.read.parquet(varDictPath).select("value", "var_id")
+           .as[(String, Long)].collect().toMap,
+         spark.read.parquet(ltDictPath).select("logtype", "logtype_id")
+           .as[(String, Long)].collect().toMap)
       else (Map.empty[String, Long], Map.empty[String, Long])
     }
 
@@ -68,14 +107,16 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
     val lts = oldLts ++ newLtValues.zipWithIndex.map { case (v, i) => v -> (ltBase + i) }
 
     if (newVarValues.nonEmpty || !haveDicts)
-      vars.toSeq.map { case (v, id) => (id, v) }.toDF("var_id", "value")
-        .coalesce(1).write.mode("overwrite").parquet(varDictPath)
+      newVarValues.zipWithIndex.map { case (v, i) => (varBase + i, v) }.toSeq
+        .toDF("var_id", "value")
+        .coalesce(1).write.mode("append").parquet(varDictPath)
     if (newLtValues.nonEmpty || !haveDicts)
-      lts.toSeq.map { case (v, id) => (id, v) }.toDF("logtype_id", "logtype")
-        .coalesce(1).write.mode("overwrite").parquet(ltDictPath)
+      newLtValues.zipWithIndex.map { case (v, i) => (ltBase + i, v) }.toSeq
+        .toDF("logtype_id", "logtype")
+        .coalesce(1).write.mode("append").parquet(ltDictPath)
     dictState = Some((vars, lts))
 
-    // ---- encode + route append (sink = logtype_id % 16 for the stream) ----
+    // encode via broadcast maps (sink = logtype_id % 16 for the stream)
     val bcVars = spark.sparkContext.broadcast(vars)
     val bcLts = spark.sparkContext.broadcast(lts)
     val resolve = udf((logtype: String, dictVars: Seq[String], encodedVars: Seq[Long]) => {
@@ -88,10 +129,63 @@ final class StreamingPipeline(spark: SparkSession, outDir: String) {
       .withColumn("e", resolve(col("logtype"), col("dict_vars"), col("encoded_vars")))
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("n_bytes"), col("e._1").as("logtype_id"), col("e._2").as("sink_id"),
-        col("e._3").as("vars"), lit(batchId).as("batch_id"))
-      .write.mode("append").partitionBy("sink_id").parquet(s"$outDir/routed")
-    parsed.unpersist()
-    marker.mkdirs()
+        col("e._3").as("vars"))
+  }
+
+  /** Above the threshold nothing dict-sized lands on the driver: anti-join
+    * delta discovery, sort+zipWithIndex ID assignment offset from the stored
+    * max, delta append, and the batch pipeline's hot-head + shuffle-tail
+    * resolution. A first batch at threshold 0 produces EXACTLY the batch
+    * pipeline's dictionary (same sort, same dense ids from 0). */
+  private def processDistributedMode(parsed: DataFrame, haveDicts: Boolean): DataFrame = {
+    val (varDict0, ltDict0) =
+      if (haveDicts) (spark.read.parquet(varDictPath), spark.read.parquet(ltDictPath))
+      else {
+        import org.apache.spark.sql.types._
+        val emptyOf = (s: StructType) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        (emptyOf(StructType(Seq(StructField("var_id", LongType, nullable = false),
+           StructField("value", StringType)))),
+         emptyOf(StructType(Seq(StructField("logtype_id", LongType, nullable = false),
+           StructField("logtype", StringType)))))
+      }
+
+    def appendDelta(newVals: DataFrame, valueCol: String, idCol: String,
+                    existing: DataFrame, path: String): Unit = {
+      val base = existing.agg(coalesce(max(col(idCol)) + 1L, lit(0L))).collect()(0).getLong(0)
+      val sorted = newVals.orderBy(valueCol)
+      val withIds = sorted.rdd.zipWithIndex.map { case (r, ix) =>
+        org.apache.spark.sql.Row(base + ix, r.getString(0))
+      }
+      spark.createDataFrame(withIds, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(valueCol,
+            org.apache.spark.sql.types.StringType))))
+        .write.mode("append").parquet(path)
+    }
+
+    appendDelta(
+      parsed.select(explode(col("dict_vars")).as("value")).distinct()
+        .join(varDict0.select("value"), Seq("value"), "left_anti"),
+      "value", "var_id", varDict0, varDictPath)
+    appendDelta(
+      parsed.select(col("logtype")).distinct()
+        .join(ltDict0.select("logtype"), Seq("logtype"), "left_anti"),
+      "logtype", "logtype_id", ltDict0, ltDictPath)
+
+    // re-read the now-complete dicts; hot-head ordering proxies count by
+    // insertion age (earliest ids ≈ values present since the first batches —
+    // the Zipf head of a stream shows up immediately); streaming sinks are
+    // logtype_id % 16 like the driver mode
+    val varDict = spark.read.parquet(varDictPath)
+      .withColumn("cnt", -col("var_id"))
+    val ltDict = spark.read.parquet(ltDictPath)
+      .withColumn("sink_id", pmod(col("logtype_id"), lit(16)).cast("int"))
+    ClpPipeline.resolveDistributed(parsed, ltDict, varDict,
+        ClpPipeline.Config(outDir, driverDictThreshold = driverDictThreshold))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
+        col("n_bytes"), col("logtype_id"), col("sink_id"), col("vars"))
   }
 
   /** Exactly-once view of the routed stream: collapses the byte-identical

@@ -37,6 +37,69 @@ class DedupLshSpec extends SparkSpecBase {
     }
   }
 
+  test("production widths: banded MinHash (128 fns, r=2) recall >= 0.9, rises with width") {
+    val sf = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // ground truth: the oracle-checked exact all-pairs kernel (j >= 0.2)
+    val exact = pairs("dedup_ngram_jaccard", sf)
+    assert(exact.nonEmpty)
+    def lshPairs(nFns: Int, r: Int): Set[(Long, Long)] =
+      graft.Dedup.minhashLshPairs(docs, "doc_id", "text", nFns, r, jMin = 0.2)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val demo = lshPairs(4, 1)   // the demo-width S-curve: 1-(1-j)^4
+    val prod = lshPairs(128, 2) // production: 1-(1-j^2)^64 ≈ 0.93 at j=0.2
+    assert(demo.subsetOf(exact), s"false positives: ${(demo -- exact).take(3)}")
+    assert(prod.subsetOf(exact), s"false positives: ${(prod -- exact).take(3)}")
+    val recallProd = prod.size.toDouble / exact.size
+    val recallDemo = demo.size.toDouble / exact.size
+    assert(recallProd >= 0.9, f"production recall $recallProd%.3f below 0.9")
+    assert(recallProd >= recallDemo - 1e-9,
+      f"recall did not rise with width: demo $recallDemo%.3f prod $recallProd%.3f")
+  }
+
+  test("production widths: OR-amplified embedding LSH (16 tables x 4 planes) recall >= 0.9") {
+    val sf = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = GraftQueries.queries("dedup_embedding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    def lshPairs(tables: Int): Set[(Long, Long)] =
+      graft.Dedup.embeddingLshPairs(emb, tables, planesPerTable = 4,
+          seed = 42L, cosMin = 0.4)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val one = lshPairs(1)
+    val prod = lshPairs(16)
+    assert(prod.subsetOf(exact), s"false positives: ${(prod -- exact).take(3)}")
+    val recallProd = prod.size.toDouble / exact.size
+    val recallOne = one.size.toDouble / exact.size
+    assert(recallProd >= 0.9, f"production recall $recallProd%.3f below 0.9")
+    assert(recallProd >= recallOne - 1e-9, "recall did not rise with table count")
+  }
+
+  test("wide SimHash: 64-bit signatures separate better than 8-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 0
+      (2L, "completely different content about spark shuffles and parquet files")
+    ).toDF("doc_id", "text").withColumn("w", split(col("text"), " "))
+    def dist(bits: Int): Map[(Long, Long), Int] = {
+      val sigs = docs.select(col("doc_id"), graft.Dedup.simhash(col("w"), bits).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (for (a <- sigs.keys; b <- sigs.keys if a < b)
+        yield (a, b) -> java.lang.Long.bitCount(sigs(a) ^ sigs(b))).toMap
+    }
+    val d64 = dist(64)
+    // near-dups are closer than unrelated docs at production width
+    assert(d64((0L, 1L)) < d64((0L, 2L)))
+    assert(d64((0L, 1L)) < d64((1L, 2L)))
+  }
+
   test("multi-probe widens the candidate set toward brute force") {
     val sf = "/root/testdata/sf0.001"
     def scored(name: String): Map[Long, Double] =

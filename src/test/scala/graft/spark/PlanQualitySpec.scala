@@ -67,6 +67,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p2.contains("vec_dot") && p2.contains("[codegen id :") && !p2.contains("UDF("))
   }
 
+  test("broadcast-mode decode is UDF-free: split_vars + dict_values expressions") {
+    // clp_extract_e2e drives withDecodedText in broadcast mode end-to-end
+    val p = executedPlan(graft.GraftQueries.queries("clp_extract_e2e")(spark, sf))
+    assert(p.contains("clp_split_vars") || p.contains("dict_values"),
+      "expected the codegen'd decode expressions in the plan")
+    assert(!p.contains("UDF("), "interpreted UDF crept back into the decode path")
+    assert(p.contains("[codegen id :"))
+  }
+
   test("json archive: schema_id filter is a partition filter (directory pruning)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-json-plan").toString

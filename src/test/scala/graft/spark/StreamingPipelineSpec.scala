@@ -76,6 +76,70 @@ class StreamingPipelineSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$outDir/routed").count() == 2 * n1)
   }
 
+  test("distributed dict mode (threshold=0): delta appends, batch-identical dicts, byte-exact decode") {
+    val outDir = Files.createTempDirectory("graft-stream-dist").toString
+    val engine = new StreamingPipeline(spark, outDir, driverDictThreshold = 0L)
+
+    // three micro-batches, end-to-end with zero driver-side dictionary maps
+    val batches = Seq(
+      (0L until 40L).map(c => TranscriptGen.turnAt(c, 0, seed = 23L)),
+      (40L until 80L).map(c => TranscriptGen.turnAt(c, 0, seed = 23L)),
+      (80L until 120L).map(c => TranscriptGen.turnAt(c, 1, seed = 23L)))
+    batches.zipWithIndex.foreach { case (b, i) => engine.processBatch(b.toDF, i.toLong) }
+
+    val routed = engine.readRouted()
+    assert(routed.count() == 120)
+
+    // dict value sets equal the batch pipeline's over the concatenated input;
+    // ids are dense and unique (monotone delta appends, no rewrites)
+    val all = batches.flatten
+    val parsedAll = ClpPipeline.parse(all.toDF)
+    val expectedVars = parsedAll.select(explode(col("dict_vars")).as("v"))
+      .distinct().as[String].collect().toSet
+    val vd = spark.read.parquet(s"$outDir/var_dict").as[(Long, String)].collect()
+    assert(vd.map(_._2).toSet == expectedVars)
+    assert(vd.map(_._1).distinct.length == vd.length)
+    assert(vd.map(_._1).sorted.toSeq == (0L until vd.length.toLong))
+
+    // replay idempotency holds in distributed mode too
+    engine.processBatch(batches(1).toDF, 1L)
+    assert(engine.readRouted().count() == 120)
+    assert(spark.read.parquet(s"$outDir/var_dict").count() == vd.length.toLong)
+
+    // byte-exact decode of the streamed archive (no driver map was ever built)
+    val lts = spark.read.parquet(s"$outDir/logtype_dict")
+    val inv = vd.map { case (id, v) => id -> v }.toMap
+    val bcInv = spark.sparkContext.broadcast(inv)
+    val dictValsOf = udf((logtype: String, vars: Seq[Long]) => {
+      ClpPipeline.placeholderKinds(logtype).iterator.zip(vars.iterator)
+        .collect { case ('d', v) => bcInv.value(v) }.toSeq
+    })
+    val encValsOf = udf((logtype: String, vars: Seq[Long]) => {
+      ClpPipeline.placeholderKinds(logtype).iterator.zip(vars.iterator)
+        .collect { case (k, v) if k != 'd' => v }.toSeq
+    })
+    val decoded = routed.join(broadcast(lts.select("logtype_id", "logtype")), Seq("logtype_id"))
+      .withColumn("text", graft.functions.ClpFunctions.clp_decode(col("logtype"),
+        encValsOf(col("logtype"), col("vars")), dictValsOf(col("logtype"), col("vars"))))
+      .select("conv_id", "turn_idx", "text")
+    val original = all.map(t => (t.conv_id, t.turn_idx) -> t.text).toMap
+    decoded.collect().foreach { r =>
+      assert(original((r.getString(0), r.getInt(1))) == r.getString(2))
+    }
+
+    // a single first batch at threshold 0 reproduces the batch pipeline's
+    // dictionary EXACTLY (same value sort, same dense ids from 0)
+    val oneDir = Files.createTempDirectory("graft-stream-one").toString
+    new StreamingPipeline(spark, oneDir, driverDictThreshold = 0L)
+      .processBatch(all.toDF, 0L)
+    val streamDict = spark.read.parquet(s"$oneDir/var_dict")
+      .as[(Long, String)].collect().toMap
+    val batchDict = ClpPipeline.buildVarDict(parsedAll,
+        ClpPipeline.Config(oneDir, driverDictThreshold = 0L))
+      .select("var_id", "value").as[(Long, String)].collect().toMap
+    assert(streamDict == batchDict)
+  }
+
   test("IR-file streaming source: binary .gir streams feed the pipeline") {
     val srcDir = Files.createTempDirectory("graft-ir-src").toString
     val outDir = Files.createTempDirectory("graft-ir-out").toString
