@@ -140,8 +140,29 @@ object GraftQueries {
     })
   }
 
+  private val jsonStructArchiveCache = scala.collection.mutable.Map.empty[String, String]
+  private def jsonStructArchive(s: SparkSession, d: String): String =
+    jsonStructArchiveCache.synchronized {
+      jsonStructArchiveCache.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft-json-struct").toString
+        graft.pipeline.JsonPipeline.route(s, jsonlDocs(s, d), "json", out,
+          options = graft.pipeline.JsonPipeline.Options(
+            timestampKey = Some("ts"), structurizeArrays = true, orderCol = Some("doc_id")))
+        out
+      })
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- clp_s structured-JSON pipeline (S4/S7, MPT schema discovery) ----
+    "jsonl_structurize_route" -> ((s, d) => {
+      // --structurize-arrays mode: the array shape gains StructuredArray +
+      // element child nodes, so schema identity is finer-grained
+      // (JsonParser.cpp:477-495); the oracle recomputes the structurized
+      // descriptors from the generator rule
+      val out = jsonStructArchive(s, d)
+      s.read.parquet(s"$out/schemas")
+        .select(col("schema_id"), col("n_records")).orderBy("schema_id")
+    }),
     "jsonl_schema_route" -> ((s, d) => {
       // per-record shape discovery → schema_id dedup → per-schema routing;
       // the oracle recomputes each shape's canonical descriptor hash from
@@ -943,9 +964,20 @@ object GraftQueries {
        |    '","msg":"' || text || '","ok":' || CASE WHEN doc_id%2=0 THEN 'true' ELSE 'false' END || '}'
        |END""".stripMargin
 
+  /** Structurize-arrays descriptors: only shape 2 carries an array (two
+    * single-token strings → one VarString element node under the
+    * StructuredArray node). Leaves sort as full "path:Type" strings, and
+    * '.' < ':', so `tags.[]` precedes `tags:`. */
+  private val sqlJsonDescriptorStruct = sqlJsonDescriptor.replace(
+    "tags:UnstructuredArray",
+    "tags.[]:VarString;tags:StructuredArray")
+
   val oracleSql: Map[String, String] = Map(
     "jsonl_schema_route" ->
       s"""SELECT md5($sqlJsonDescriptor) AS schema_id, count(*) AS n_records
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "jsonl_structurize_route" ->
+      s"""SELECT md5($sqlJsonDescriptorStruct) AS schema_id, count(*) AS n_records
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "jsonl_schema_tree" ->
       s"""WITH leaves AS (

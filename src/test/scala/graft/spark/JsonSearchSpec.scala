@@ -37,20 +37,26 @@ class JsonSearchSpec extends SparkSpecBase {
     """{"idx": 12, "ambiguous_varstring": "a*e"}""",
     """{"idx": 13, "one": 1}""")
 
-  private lazy val outDir: String = {
+  private def buildArchive(structurize: Boolean): String = {
     val dir = Files.createTempDirectory("graft-ref-search").toString
     JsonPipeline.route(spark, corpus.toDF("json"), "json", dir,
       metadata = Seq(
         "$_filename" -> lit("test_search.jsonl"),
         "$_file_split_number" -> lit(0L),
-        "$_archive_creator_id" -> lit("8f2b4a-creator")))
+        "$_archive_creator_id" -> lit("8f2b4a-creator")),
+      options = JsonPipeline.Options(structurizeArrays = structurize))
     dir
   }
+  private lazy val outDir: String = buildArchive(structurize = false)
+  private lazy val outDirStruct: String = buildArchive(structurize = true)
 
   private def ids(kql: String, dir: String = outDir): Set[Long] =
     JsonPipeline.kqlSearch(spark, dir, kql, Seq("idx")).as[Long].collect().toSet
 
-  test("reference query table (test-clp_s-search.cpp)") {
+  /** The reference's e2e golden test parameterizes over structurize-arrays
+    * (test-clp_s-end_to_end.cpp:26-40): the full query table must hold
+    * under BOTH array modes. */
+  private def referenceTable(dir: String): Unit = {
     val cases: Seq[(String, Set[Long])] = Seq(
       ("NOT a: b", Set(0L)),
       ("""msg: "Msg 1: \"Abc123\""""", Set(1L)),
@@ -73,8 +79,39 @@ class JsonSearchSpec extends SparkSpecBase {
       ("idx: * AND NOT idx: null AND idx: 0", Set(0L)),
       ("one > 0.9 AND one < 1.1 AND one: 1.0", Set(13L)))
     cases.foreach { case (q, exp) =>
-      assert(ids(q) == exp, s"query <$q>")
+      assert(ids(q, dir) == exp, s"query <$q>")
     }
+  }
+
+  test("reference query table (test-clp_s-search.cpp)") {
+    referenceTable(outDir)
+  }
+
+  test("reference query table under --structurize-arrays") {
+    referenceTable(outDirStruct)
+  }
+
+  test("wildcard projection over the reference corpus (search/Projection.cpp)") {
+    import org.apache.spark.sql.functions.col
+    // `arr*` resolves per schema: record 8's nested-object fields project,
+    // record 7's array projects whole; absent columns null-fill
+    val out = JsonPipeline.kqlSearch(spark, outDir, "idx >= 7 AND idx <= 9",
+      Seq("idx", "arr*"))
+    assert(out.columns.contains("idx"))
+    assert(out.columns.exists(_.startsWith("arr")))
+    val byIdx = out.collect().map(r => r.getAs[Long]("idx") -> r).toMap
+    assert(byIdx.keySet == Set(7L, 8L, 9L))
+    // record 9 owns `array` (empty, not null) but lacks records 7/8's `arr`
+    // nodes -> those specific columns null-fill
+    val r9 = byIdx(9L)
+    assert(!r9.isNullAt(r9.fieldIndex("array")), "idx 9 owns `array` ([])")
+    out.columns.filter(c => c == "arr" || c.startsWith("arr.")).foreach { c =>
+      assert(r9.isNullAt(r9.fieldIndex(c)), s"expected null $c for idx 9")
+    }
+    // metadata columns are projectable by literal name
+    val meta = JsonPipeline.kqlSearch(spark, outDir, "idx: 0",
+      Seq("idx", "$_filename")).collect()
+    assert(meta.head.getAs[String]("$_filename") == "test_search.jsonl")
   }
 
   test("reference formatted-float query table (value-domain equality)") {
