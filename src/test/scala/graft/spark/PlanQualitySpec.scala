@@ -88,6 +88,24 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("PartitionFilters") && p.contains("schema_id"))
   }
 
+  test("kql on a single-schema column prunes the other schemas' scans from the plan") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-json-prune").toString
+    val jsonl = Seq(
+      """{"a":"x y","k":1}""", """{"a":"z w","k":2}""",
+      """{"b":true}""", """{"c":5}""")
+      .toDF("json")
+    graft.pipeline.JsonPipeline.route(spark, jsonl, "json", out)
+    // `k` exists in ONE schema: the other branches' predicates fold to
+    // false (SchemaMatch pruning), and Catalyst's PruneFilters turns those
+    // union branches into empty relations — exactly one scan survives
+    val df = graft.pipeline.JsonPipeline.kqlSearch(spark, out, "k >= 1", Seq("k"))
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 surviving scan, got $scans:\n$p")
+    assert(df.count() == 2)
+  }
+
   test("search candidates prune with partition filter on sink_id") {
     val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val turns = graft.pipeline.TranscriptGen.turns(spark, 1500, seed = 5L).toDF
