@@ -150,8 +150,14 @@ object ClpPipeline {
    * Returns None above the threshold → caller takes the per-dict
    * (possibly distributed) path.
    */
+  /** Fused driver-path dict build. On the Some branch the returned `counts`
+    * DataFrame (kind, value, cnt) is STILL PERSISTED — the caller writes the
+    * dict parquet from it distributed (ids via the resolution broadcast, so
+    * the written dicts and the maps are identical by construction, and no
+    * dictionary-sized row set is ever serialized from the driver) and then
+    * unpersists it. */
   private[pipeline] def buildDictsFused(parsed: DataFrame, cfg: Config):
-      Option[(Array[(Long, String, Long, Int)], Array[(Long, String, Long)])] = {
+      Option[(Array[(Long, String, Long, Int)], Array[(Long, String, Long)], DataFrame)] = {
     val spark = parsed.sparkSession
     import spark.implicits._
     // union of two column-pruned scans (no struct materialization): the
@@ -166,27 +172,19 @@ object ClpPipeline {
       .as[(Int, String, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = counts.count() // cardinality gate BEFORE any collect
-    val result =
-      if (n <= cfg.driverDictThreshold) {
-        val all = counts.collect()
-        def ranked(kind: Int): Array[(Long, String, Long)] = {
-          val entries = all.iterator.filter(_._1 == kind).map(t => (t._2, t._3)).toArray
-          java.util.Arrays.sort(entries, Ordering.by((e: (String, Long)) => e._1))
-          entries.iterator.zipWithIndex.map { case ((v, c), ix) => (ix.toLong, v, c) }.toArray
-        }
-        val lts = ranked(0)
-        val sinks = assignSinks(lts, cfg.maxSinks)
-        Some((lts.map { case (id, v, c) => (id, v, c, sinks.getOrElse(id, 0)) }, ranked(1)))
-      } else None
-    counts.unpersist()
-    result
+    if (n <= cfg.driverDictThreshold) {
+      val all = counts.collect()
+      def ranked(kind: Int): Array[(Long, String, Long)] = {
+        val entries = all.iterator.filter(_._1 == kind).map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(entries, Ordering.by((e: (String, Long)) => e._1))
+        entries.iterator.zipWithIndex.map { case ((v, c), ix) => (ix.toLong, v, c) }.toArray
+      }
+      val lts = ranked(0)
+      val sinks = assignSinks(lts, cfg.maxSinks)
+      Some((lts.map { case (id, v, c) => (id, v, c, sinks.getOrElse(id, 0)) }, ranked(1),
+        counts.toDF("kind", "value", "cnt")))
+    } else { counts.unpersist(); None }
   }
-
-  private def writeDriverDict(spark: SparkSession, rows: Seq[Row], schema: StructType,
-                              path: String): Unit =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 50000 + 1)),
-      schema).write.mode("overwrite").parquet(path)
 
   /** Logtype dictionary with GLT-style sink assignment: the `maxSinks - 1`
     * hottest templates get dedicated sinks (1..), the long tail shares the
@@ -246,14 +244,28 @@ object ClpPipeline {
                                                 varMap: Map[String, Long],
                                                 lookup: DataFrame): DataFrame = {
     val spark = parsed.sparkSession
-    val bcLt = spark.sparkContext.broadcast(ltMap)
-    val bcVars = spark.sparkContext.broadcast(varMap)
+    val ltJ = new java.util.HashMap[String, (Long, Int)](ltMap.size * 2)
+    ltMap.foreach { case (k, v) => ltJ.put(k, v) }
+    val varJ = new java.util.HashMap[String, java.lang.Long](varMap.size * 2)
+    varMap.foreach { case (k, v) => varJ.put(k, java.lang.Long.valueOf(v)) }
+    encodeAndEnrichWithJavaMaps(parsed,
+      spark.sparkContext.broadcast(ltJ), spark.sparkContext.broadcast(varJ), lookup)
+  }
+
+  /** Broadcast-mode core over presized java maps (hash probes without the
+    * immutable-Map tree walk; a 2M-entry map builds and serializes in a
+    * fraction of the Scala Map cost — driver seconds that count against
+    * every leg of a scaling run). */
+  private[pipeline] def encodeAndEnrichWithJavaMaps(parsed: DataFrame,
+      bcLt: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Long, Int)]],
+      bcVars: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]],
+      lookup: DataFrame): DataFrame = {
     val resolve = udf((logtype: String, dictVars: Seq[String], encodedVars: Seq[Long]) => {
-      val (ltId, sink) = bcLt.value(logtype)
+      val (ltId, sink) = bcLt.value.get(logtype)
       val vm = bcVars.value
       val ids = new Array[Long](dictVars.length)
       var i = 0
-      while (i < ids.length) { ids(i) = vm(dictVars(i)); i += 1 }
+      while (i < ids.length) { ids(i) = vm.get(dictVars(i)).longValue(); i += 1 }
       (ltId, sink, graft.core.ClpEncoding.mergeVars(logtype, encodedVars.toArray, ids))
     })
     parsed
@@ -401,25 +413,38 @@ object ClpPipeline {
 
     // fused driver-path dict build keeps the collected arrays for this run:
     // sink assignment, both dict writes, AND the resolution broadcast maps
-    // come from ONE scan + ONE collect (no parquet re-collect round-trips)
-    var fusedMaps: Option[(Map[String, (Long, Int)], Map[String, Long])] = None
+    // come from ONE scan + ONE collect (no parquet re-collect round-trips).
+    // The dict parquet itself is written DISTRIBUTED from the still-persisted
+    // counts with ids resolved through the same broadcast the encode pass
+    // uses — identical by construction, and the driver never serializes a
+    // dictionary-sized row set (round 2 shipped ~22 MB parallelize tasks and
+    // burned seconds of serial time here, in both legs of every scaling run)
+    var fusedBc: Option[(
+      org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Long, Int)]],
+      org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]])] = None
     val dictsDone = cfg.resume && lineage.isComplete("dicts")
     if (!dictsDone) {
       val t0 = System.nanoTime()
       buildDictsFused(parsed, cfg) match {
-        case Some((lts, vars)) =>
-          writeDriverDict(spark,
-            lts.map { case (id, v, c, sink) => Row(id, v, c, sink) }.toSeq,
-            StructType(dictSchema("logtype_id", "logtype").fields :+
-              StructField("sink_id", IntegerType, nullable = false)),
-            s"${cfg.outDir}/logtype_dict")
-          writeDriverDict(spark,
-            vars.map { case (id, v, c) => Row(id, v, c) }.toSeq,
-            dictSchema("var_id", "value"),
-            s"${cfg.outDir}/var_dict")
-          fusedMaps = Some((
-            lts.map { case (id, v, _, sink) => v -> ((id, sink)) }.toMap,
-            vars.map { case (id, v, _) => v -> id }.toMap))
+        case Some((lts, vars, counts)) =>
+          val ltJ = new java.util.HashMap[String, (Long, Int)](lts.length * 2)
+          lts.foreach { case (id, v, _, sink) => ltJ.put(v, (id, sink)) }
+          val varJ = new java.util.HashMap[String, java.lang.Long](vars.length * 2)
+          vars.foreach { case (id, v, _) => varJ.put(v, java.lang.Long.valueOf(id)) }
+          val bcLt = spark.sparkContext.broadcast(ltJ)
+          val bcVar = spark.sparkContext.broadcast(varJ)
+          val ltIdSink = udf((v: String) => bcLt.value.get(v))
+          val varId = udf((v: String) => bcVar.value.get(v).longValue())
+          counts.filter(col("kind") === 0)
+            .select(ltIdSink(col("value")).as("e"), col("value"), col("cnt"))
+            .select(col("e._1").as("logtype_id"), col("value").as("logtype"),
+              col("cnt"), col("e._2").as("sink_id"))
+            .write.mode("overwrite").parquet(s"${cfg.outDir}/logtype_dict")
+          counts.filter(col("kind") === 1)
+            .select(varId(col("value")).as("var_id"), col("value"), col("cnt"))
+            .write.mode("overwrite").parquet(s"${cfg.outDir}/var_dict")
+          counts.unpersist()
+          fusedBc = Some((bcLt, bcVar))
         case None => // over threshold: per-dict path (distributed IDs)
           buildLogtypeDict(parsed, cfg)
             .write.mode("overwrite").parquet(s"${cfg.outDir}/logtype_dict")
@@ -436,8 +461,8 @@ object ClpPipeline {
     if (!routeDone) {
       val t0 = System.nanoTime()
       val lookup = TranscriptGen.roleToolLookup(spark)
-      val encoded = fusedMaps match {
-        case Some((ltMap, varMap)) => encodeAndEnrichWithMaps(parsed, ltMap, varMap, lookup)
+      val encoded = fusedBc match {
+        case Some((bcLt, bcVar)) => encodeAndEnrichWithJavaMaps(parsed, bcLt, bcVar, lookup)
         case None => encodeAndEnrich(parsed, logtypeDict, varDict, lookup, cfg)
       }
       route(encoded, cfg)

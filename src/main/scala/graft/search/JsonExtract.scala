@@ -1,0 +1,66 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * `clp-s x --ordered` CLI twin: reconstruct a JSON archive's original JSONL
+ * in global log_event_idx order, split into bounded chunks with
+ * `<archive>_<first>_<last>.jsonl` names and a printed manifest line per
+ * chunk — the reference's ordered chunked decompression
+ * (components/core/src/clp_s/JsonConstructor.cpp:64-141 construct_in_order,
+ * finalize_chunk; `print_ordered_chunk_stats`).
+ *
+ * Scale shape: chunk ids derive from log_event_idx arithmetic (no global
+ * window), one shuffle on chunk id, records sorted within each chunk file;
+ * the driver touches only the per-chunk (first, last) manifest rows.
+ */
+object JsonExtract {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: JsonExtract <archiveDir> <outDir> [chunkSize]")
+    val Array(archiveDir, outDir) = args.take(2)
+    val chunkSize = if (args.length > 2) args(2).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-json-extract")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.ClpFunctions.register(spark)
+
+    val archiveId = new java.io.File(archiveDir).getName
+    val recs = graft.pipeline.JsonPipeline.extract(spark, archiveDir)
+      .withColumn("chunk", (col("log_event_idx") / chunkSize).cast("long"))
+
+    val staging = s"$outDir/_staging"
+    recs.repartition(col("chunk"))
+      .sortWithinPartitions("chunk", "log_event_idx")
+      .select(col("chunk"), col("json"))
+      .write.mode("overwrite").partitionBy("chunk").text(staging)
+
+    // manifest: per-chunk [first, last] event range (last exclusive +1, the
+    // reference's clp-compatible end index)
+    val manifest = recs.groupBy("chunk")
+      .agg(min("log_event_idx").as("first"), max("log_event_idx").as("last"))
+      .orderBy("chunk").collect()
+    manifest.foreach { r =>
+      val (chunk, first, last) = (r.getLong(0), r.getLong(1), r.getLong(2) + 1)
+      val dir = new java.io.File(s"$staging/chunk=$chunk")
+      val part = dir.listFiles().filter(_.getName.startsWith("part-"))
+      require(part.length == 1, s"expected one file per chunk, got ${part.length}")
+      val target = new java.io.File(s"$outDir/${archiveId}_${first}_$last.jsonl")
+      require(part(0).renameTo(target), s"rename failed for chunk $chunk")
+      println(s"""{"path":"${target.getPath}","begin_msg_ix":$first,"end_msg_ix":$last}""")
+    }
+    // drop staging remnants (partition dirs + _SUCCESS)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(staging))
+    println(s"extract: ${manifest.length} chunks to $outDir")
+    spark.stop()
+  }
+}
