@@ -78,8 +78,16 @@ object GraftQueries {
     archiveCache.getOrElseUpdate(d, {
       withClp(s)
       val out = java.nio.file.Files.createTempDirectory("graft-search-arch").toString
-      graft.pipeline.ClpPipeline.run(s, searchTurns(s, d),
-        graft.pipeline.ClpPipeline.Config(out, maxSinks = 8, saltParts = 8))
+      val turns = searchTurns(s, d)
+      // deterministic J4 enrichment dimension the DuckDB oracle can
+      // recompute: team from the role, cost class from the tool's length
+      val lookup = turns.select(col("role"), col("tool")).distinct()
+        .withColumn("team", concat(lit("team-"), col("role")))
+        .withColumn("cost_class",
+          when(length(col("tool")) % 2 === 0, lit("premium")).otherwise(lit("standard")))
+      graft.pipeline.ClpPipeline.run(s, turns,
+        graft.pipeline.ClpPipeline.Config(out, maxSinks = 8, saltParts = 8),
+        lookup = Some(lookup))
       out
     })
   }
@@ -293,6 +301,41 @@ object GraftQueries {
       searchGate(s, d, "* end",
         tsLo = Some(new java.sql.Timestamp(1704067200000L + 10000L)),
         tsHi = Some(new java.sql.Timestamp(1704067200000L + 30000L)))),
+    "clp_search_e2e_dict_ts" -> ((s, d) =>
+      // J2 segment-set ops under the gate: the dict-probe sink set is
+      // INTERSECTED with the ts-admissible sink set before any scan, then
+      // both constraints apply in the encoded domain
+      searchGate(s, d, "* code=es *",
+        tsLo = Some(new java.sql.Timestamp(1704067200000L + 5000L)),
+        tsHi = Some(new java.sql.Timestamp(1704067200000L + 250000L)))),
+    "clp_search_limit" -> ((s, d) =>
+      // O1 limit under the gate: LIMIT pushed into the search plan
+      // (CollectLimit, no full materialization); the truncated cardinality
+      // must be min(limit, true match count) at every scale
+      new graft.search.ClpSearch(s, searchArchive(s, d))
+        .search("* code=es *", limit = Some(40))
+        .agg(count(lit(1)).cast("long").as("n"))),
+    "clp_enrich_join" -> ((s, d) =>
+      // J4 enrichment join under the gate: the routed archive carries the
+      // broadcast-joined (team, cost_class) dimension columns; aggregating
+      // them back must match DuckDB's recomputation of the lookup rule
+      s.read.parquet(s"${searchArchive(s, d)}/routed")
+        .groupBy("team", "cost_class")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("team", "cost_class")),
+    "clp_sink_stats" -> ((s, d) => {
+      // A6 segment stats + partition lineage under the gate: the per-sink
+      // stats table and the per-(sink, bucket) lineage table must BOTH sum
+      // back to the exact input totals (rows, bytes, inclusive ts span)
+      val arch = searchArchive(s, d)
+      s.read.parquet(s"$arch/sink_stats")
+        .agg(sum("n_rows").cast("long").as("n_rows"),
+          sum("n_bytes").cast("long").as("n_bytes"),
+          unix_millis(min("min_ts")).as("min_ts"),
+          unix_millis(max("max_ts")).as("max_ts"))
+        .crossJoin(s.read.parquet(s"$arch/lineage_partitions")
+          .agg(sum("n_rows").cast("long").as("lineage_rows")))
+    }),
     "clp_search_e2e_countbytime" -> ((s, d) => {
       // A2 under the gate: count-by-time buckets through the full search
       // lifecycle (bucket = floor(ts_ms / size) * size)
@@ -1029,6 +1072,24 @@ object GraftQueries {
       sqlSearchSelect(s"($sqlSearchText) LIKE '% code=zz %'"),
     "clp_search_e2e_ts" ->
       sqlSearchSelect("doc_id BETWEEN 10 AND 30"),
+    "clp_search_e2e_dict_ts" ->
+      sqlSearchSelect(
+        s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 5 AND 250"),
+    "clp_search_limit" ->
+      s"""SELECT CAST(least(40, (SELECT count(*) FROM documents
+         |  WHERE ($sqlSearchText) LIKE '% code=es %')) AS BIGINT) AS n""".stripMargin,
+    "clp_enrich_join" ->
+      """SELECT 'team-' || lang AS team,
+        |  CASE WHEN length(source) % 2 = 0 THEN 'premium' ELSE 'standard' END AS cost_class,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "clp_sink_stats" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(strlen($sqlSearchText)) AS BIGINT) AS n_bytes,
+         |  CAST(min(1704067200000 + doc_id*1000) AS BIGINT) AS min_ts,
+         |  CAST(max(1704067200000 + doc_id*1000) AS BIGINT) AS max_ts,
+         |  CAST(count(*) AS BIGINT) AS lineage_rows
+         |FROM documents""".stripMargin,
     "clp_search_e2e_countbytime" ->
       """SELECT CAST(floor((1704067200000 + doc_id*1000) / 10000) * 10000 AS BIGINT) AS bucket,
         |  count(*) AS cnt

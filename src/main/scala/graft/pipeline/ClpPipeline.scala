@@ -398,8 +398,13 @@ object ClpPipeline {
     * Dataset: the dictionary builds then scan ONLY their own columns (logtype
     * resp. dict_vars — Parquet column pruning), the route pass streams all of
     * them once, memory stays flat at any scale, and every stage boundary is a
-    * durable resume point. */
-  def run(spark: SparkSession, turns: DataFrame, cfg: Config): Result = {
+    * durable resume point.
+    *
+    * `lookup` is the J4 enrichment dimension — a small (role, tool) →
+    * (team, cost_class) table broadcast-joined onto every encoded row;
+    * defaults to the synthetic transcript mapping. */
+  def run(spark: SparkSession, turns: DataFrame, cfg: Config,
+          lookup: Option[DataFrame] = None): Result = {
     val lineage = new Lineage(cfg.outDir)
 
     if (!(cfg.resume && lineage.isComplete("parse"))) {
@@ -460,10 +465,10 @@ object ClpPipeline {
     val routeDone = cfg.resume && lineage.isComplete("route")
     if (!routeDone) {
       val t0 = System.nanoTime()
-      val lookup = TranscriptGen.roleToolLookup(spark)
+      val lkp = lookup.getOrElse(TranscriptGen.roleToolLookup(spark))
       val encoded = fusedBc match {
-        case Some((bcLt, bcVar)) => encodeAndEnrichWithJavaMaps(parsed, bcLt, bcVar, lookup)
-        case None => encodeAndEnrich(parsed, logtypeDict, varDict, lookup, cfg)
+        case Some((bcLt, bcVar)) => encodeAndEnrichWithJavaMaps(parsed, bcLt, bcVar, lkp)
+        case None => encodeAndEnrich(parsed, logtypeDict, varDict, lkp, cfg)
       }
       route(encoded, cfg)
       lineage.complete("route", Map("input_rows" -> turnsIn,

@@ -29,7 +29,16 @@ object JsonExtract {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ClpFunctions.register(spark)
+    run(spark, archiveDir, outDir, chunkSize).foreach { case (path, first, last) =>
+      println(s"""{"path":"$path","begin_msg_ix":$first,"end_msg_ix":$last}""")
+    }
+    spark.stop()
+  }
 
+  /** Core reconstruction: returns one (path, firstIdx, lastIdxExclusive)
+    * manifest row per written chunk file, in chunk order. */
+  def run(spark: SparkSession, archiveDir: String, outDir: String,
+          chunkSize: Long): Seq[(String, Long, Long)] = {
     val archiveId = new java.io.File(archiveDir).getName
     val recs = graft.pipeline.JsonPipeline.extract(spark, archiveDir)
       .withColumn("chunk", (col("log_event_idx") / chunkSize).cast("long"))
@@ -45,14 +54,14 @@ object JsonExtract {
     val manifest = recs.groupBy("chunk")
       .agg(min("log_event_idx").as("first"), max("log_event_idx").as("last"))
       .orderBy("chunk").collect()
-    manifest.foreach { r =>
+    val out = manifest.toSeq.map { r =>
       val (chunk, first, last) = (r.getLong(0), r.getLong(1), r.getLong(2) + 1)
       val dir = new java.io.File(s"$staging/chunk=$chunk")
       val part = dir.listFiles().filter(_.getName.startsWith("part-"))
       require(part.length == 1, s"expected one file per chunk, got ${part.length}")
       val target = new java.io.File(s"$outDir/${archiveId}_${first}_$last.jsonl")
       require(part(0).renameTo(target), s"rename failed for chunk $chunk")
-      println(s"""{"path":"${target.getPath}","begin_msg_ix":$first,"end_msg_ix":$last}""")
+      (target.getPath, first, last)
     }
     // drop staging remnants (partition dirs + _SUCCESS)
     def rm(f: java.io.File): Unit = {
@@ -60,7 +69,6 @@ object JsonExtract {
       f.delete(); ()
     }
     rm(new java.io.File(staging))
-    println(s"extract: ${manifest.length} chunks to $outDir")
-    spark.stop()
+    out
   }
 }

@@ -201,4 +201,27 @@ class JsonPipelineSpec extends SparkSpecBase {
       """{"idx":8,"arr":[{"a":1},{"b":2}]}""",
       """{"idx":9,"arr":[{"c":5}]}"""))
   }
+
+  test("chunked extraction writes ordered chunk files with a contiguous manifest") {
+    val dir = Files.createTempDirectory("graft-jsonl-chunk").toString
+    val originals = Seq.tabulate(23)(i => s"""{"n":$i,"msg":"event number $i"}""")
+    JsonPipeline.route(spark, originals.toDF("json"), "json", dir)
+    val outDir = Files.createTempDirectory("graft-jsonl-chunk-out").toString
+    val manifest = graft.search.JsonExtract.run(spark, dir, outDir, chunkSize = 10L)
+
+    // manifest covers [0, 23) contiguously, in order, at the chunk size
+    assert(manifest.map { case (_, first, last) => (first, last) } ==
+      Seq((0L, 10L), (10L, 20L), (20L, 23L)))
+    // each chunk file holds exactly its manifest's records, in order;
+    // concatenation in manifest order reproduces the original JSONL
+    val back = manifest.flatMap { case (path, first, last) =>
+      val lines = scala.io.Source.fromFile(path).getLines().toSeq
+      assert(lines.length == (last - first).toInt, s"chunk $path line count")
+      lines
+    }
+    assert(back == originals)
+    // staging remnants cleaned: only the chunk files remain
+    assert(new java.io.File(outDir).listFiles().map(_.getName).sorted.toSeq ==
+      manifest.map(m => new java.io.File(m._1).getName).sorted)
+  }
 }
