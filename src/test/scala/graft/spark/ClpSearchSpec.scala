@@ -161,6 +161,42 @@ class ClpSearchSpec extends SparkSpecBase {
     assert(sinks.size.toLong < allSinks, "expected sink pruning to cut the scan")
   }
 
+  test("fuzz: corpus-derived wildcard queries equal the brute-force oracle") {
+    // Randomized sweep over the layer the fixed-query tests can't exhaust:
+    // WildcardQueryCompiler's subquery enumeration + dict probes + sink/ts
+    // pruning. Queries are substrings of real corpus messages (so cuts land
+    // mid-token, mid-number, across var boundaries) mutated with ?/* and
+    // case flips; the oracle is the raw-text wildcard matcher.
+    engine // force pipeline build
+    val rnd = new scala.util.Random(0xC1F)
+    val texts = turns.select("text").limit(400).collect().map(_.getString(0))
+    var nonEmpty = 0
+    for (i <- 0 until 48) {
+      val t = texts(rnd.nextInt(texts.length))
+      val start = rnd.nextInt(math.max(1, t.length - 4))
+      val len = 3 + rnd.nextInt(28)
+      var q = t.substring(start, math.min(t.length, start + len))
+      // char → '?' (p≈0.08)
+      q = q.map(c => if (rnd.nextDouble() < 0.08) '?' else c)
+      // one interior '*' splice (p≈0.4): greedy span fallback path
+      if (rnd.nextDouble() < 0.4 && q.length > 4) {
+        val cut = 1 + rnd.nextInt(q.length - 2)
+        q = q.substring(0, cut) + "*" + q.substring(cut + rnd.nextInt(q.length - cut))
+      }
+      val caseSensitive = rnd.nextBoolean()
+      if (!caseSensitive) q = q.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+      // substring semantics unless we kept the real message start/end
+      val query = (if (start == 0 && rnd.nextBoolean()) "" else "*") + q + "*"
+      val exp = oracle(query, caseSensitive)
+      if (exp.nonEmpty) nonEmpty += 1
+      assert(got(engine.search(query, caseSensitive)) == exp,
+        s"fuzz #$i mismatch for query '$query' (caseSensitive=$caseSensitive)")
+    }
+    // the generator must actually exercise matching paths, not just prove
+    // empty==empty 48 times
+    assert(nonEmpty >= 24, s"weak fuzz corpus: only $nonEmpty/48 non-empty oracles")
+  }
+
   test("extract (clp x): full archive reconstructs every turn byte-exactly in order (O3)") {
     engine // force pipeline build
     val extracted = graft.search.Extract(spark, outDir)

@@ -202,6 +202,63 @@ class JsonPipelineSpec extends SparkSpecBase {
       """{"idx":9,"arr":[{"c":5}]}"""))
   }
 
+  test("fuzz: random typed ranges + ts windows equal the direct-filter oracle") {
+    // Randomized sweep of the typed-filter + schema-pruning + ts-index layer:
+    // a mixed-schema corpus (int/string/float fields present or absent per
+    // record) searched with random KQL ranges and ts windows; the oracle
+    // filters the in-memory originals directly.
+    val rnd = new scala.util.Random(0x15EEDL)
+    case class Rec(idx: Long, k: Option[Long], s: Option[String],
+                   score: Option[Double], ts: Long)
+    val base = 1704067200000L
+    val recs = Seq.tabulate(300) { i =>
+      Rec(i.toLong,
+        if (i % 7 != 0) Some(rnd.nextInt(1000).toLong) else None,
+        if (i % 3 != 0) Some(s"word${rnd.nextInt(20)}") else None,
+        if (i % 5 == 0) Some(math.round(rnd.nextDouble() * 100) / 10.0) else None,
+        base + i * 1000L)
+    }
+    val jsonOf: Rec => String = r =>
+      "{" + (Seq(s""""idx":${r.idx}""", s""""ts":${r.ts}""") ++
+        r.k.map(v => s""""k":$v""") ++ r.s.map(v => s""""s":"$v"""") ++
+        r.score.map(v => s""""score":$v""")).mkString(",") + "}"
+    val dir = Files.createTempDirectory("graft-jsonl-fuzz").toString
+    JsonPipeline.route(spark, recs.map(jsonOf).toDF("json"), "json", dir,
+      options = JsonPipeline.Options(timestampKey = Some("ts")))
+
+    var nonEmpty = 0
+    for (i <- 0 until 24) {
+      val (kql, pred): (String, Rec => Boolean) = rnd.nextInt(4) match {
+        case 0 =>
+          val (a, b) = (rnd.nextInt(900), rnd.nextInt(900))
+          val (lo, hi) = (math.min(a, b), math.max(a, b))
+          (s"k >= $lo AND k <= $hi", r => r.k.exists(v => v >= lo && v <= hi))
+        case 1 =>
+          val w = s"word${rnd.nextInt(20)}"
+          (s"s: $w", r => r.s.contains(w))
+        case 2 =>
+          val x = rnd.nextInt(100) / 10.0
+          (s"score > $x", r => r.score.exists(_ > x))
+        case 3 =>
+          val (a, w) = (rnd.nextInt(900), s"word${rnd.nextInt(20)}")
+          (s"k < $a OR s: $w", r => r.k.exists(_ < a) || r.s.contains(w))
+      }
+      val (tsLo, tsHi) =
+        if (rnd.nextBoolean()) (None, None)
+        else {
+          val (a, b) = (rnd.nextInt(300), rnd.nextInt(300))
+          (Some(base + math.min(a, b) * 1000L), Some(base + math.max(a, b) * 1000L))
+        }
+      val exp = recs.filter(r => pred(r) &&
+        tsLo.forall(r.ts >= _) && tsHi.forall(r.ts <= _)).map(_.idx).toSet
+      if (exp.nonEmpty) nonEmpty += 1
+      val got = JsonPipeline.kqlSearch(spark, dir, kql, Seq("idx"), tsLo, tsHi)
+        .as[Long].collect().toSet
+      assert(got == exp, s"fuzz #$i mismatch for '$kql' ts=[$tsLo,$tsHi]")
+    }
+    assert(nonEmpty >= 12, s"weak fuzz corpus: only $nonEmpty/24 non-empty oracles")
+  }
+
   test("chunked extraction writes ordered chunk files with a contiguous manifest") {
     val dir = Files.createTempDirectory("graft-jsonl-chunk").toString
     val originals = Seq.tabulate(23)(i => s"""{"n":$i,"msg":"event number $i"}""")
