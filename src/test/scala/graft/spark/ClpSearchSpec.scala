@@ -168,7 +168,8 @@ class ClpSearchSpec extends SparkSpecBase {
     // mid-token, mid-number, across var boundaries) mutated with ?/* and
     // case flips; the oracle is the raw-text wildcard matcher.
     engine // force pipeline build
-    val rnd = new scala.util.Random(0xC1F)
+    // fixed default seed; override with -Dgraft.fuzz.seed=N for wider sweeps
+    val rnd = new scala.util.Random(sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(0xC1FL))
     val texts = turns.select("text").limit(400).collect().map(_.getString(0))
     var nonEmpty = 0
     for (i <- 0 until 48) {

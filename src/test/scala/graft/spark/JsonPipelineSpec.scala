@@ -207,7 +207,8 @@ class JsonPipelineSpec extends SparkSpecBase {
     // a mixed-schema corpus (int/string/float fields present or absent per
     // record) searched with random KQL ranges and ts windows; the oracle
     // filters the in-memory originals directly.
-    val rnd = new scala.util.Random(0x15EEDL)
+    // fixed default seed; override with -Dgraft.fuzz.seed=N for wider sweeps
+    val rnd = new scala.util.Random(sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(0x15EEDL))
     case class Rec(idx: Long, k: Option[Long], s: Option[String],
                    score: Option[Double], ts: Long)
     val base = 1704067200000L
