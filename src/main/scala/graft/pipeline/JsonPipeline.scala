@@ -360,16 +360,31 @@ object JsonPipeline {
     val metaCols = records.columns.filter(_.startsWith("$")).toSeq
     if (hasTsFilter && !metaCols.contains("$_ts")) return emptyResult
 
-    // per-schema typed frames + predicate
-    val frames = catalog.map { e =>
-      val df = records.filter(col("schema_id") === e.schemaId) // partition-pruned
-        .withColumn("_rec", from_json(col("_raw"), e.sparkSchema))
-        .select(metaCols.map(m => col(s"`$m`")) :+ col("_rec.*"): _*)
-      val kqlPred = graft.search.KqlCompiler.compile(ast, df.schema)
-      val tsPred = (tsLo.map(col("`$_ts`") >= _) ++ tsHi.map(col("`$_ts`") <= _))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      (e, df.filter(kqlPred && tsPred))
+    // Per-schema typed frames + predicate. SchemaMatch prunes FIRST: the
+    // predicate is compiled against each schema's derived StructType (no
+    // DataFrame built yet), and a schema whose predicate folds to a constant
+    // non-true is dropped on the driver — the union stays O(matching
+    // schemas), not O(catalog), in both plan size and analysis time (the
+    // reference computes the matching schema set from the MPT before any
+    // table is opened — search/SchemaMatch.cpp).
+    val metaFields = metaCols.map(records.schema(_))
+    val frames = catalog.flatMap { e =>
+      val fullSchema = StructType(metaFields ++ e.sparkSchema.fields)
+      val kqlPred = graft.search.KqlCompiler.compile(ast, fullSchema)
+      val predExpr = org.apache.spark.sql.GraftInternals.expression(kqlPred)
+      val cantMatch = predExpr.foldable &&
+        scala.util.Try(predExpr.eval(null)).toOption.forall(_ != true)
+      if (cantMatch) None
+      else {
+        val df = records.filter(col("schema_id") === e.schemaId) // partition-pruned
+          .withColumn("_rec", from_json(col("_raw"), e.sparkSchema))
+          .select(metaCols.map(m => col(s"`$m`")) :+ col("_rec.*"): _*)
+        val tsPred = (tsLo.map(col("`$_ts`") >= _) ++ tsHi.map(col("`$_ts`") <= _))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        Some((e, df.filter(kqlPred && tsPred)))
+      }
     }
+    if (frames.isEmpty) return emptyResult
 
     // Projection.cpp: resolve each pattern against each schema's columns
     val resolvedPerSchema: Seq[(DataFrame, Seq[(String, DataType)])] = frames.map {

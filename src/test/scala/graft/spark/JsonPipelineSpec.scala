@@ -202,6 +202,22 @@ class JsonPipelineSpec extends SparkSpecBase {
       """{"idx":9,"arr":[{"c":5}]}"""))
   }
 
+  test("KQL schema pruning happens on the driver: plan size is O(matching schemas)") {
+    // 200 distinct schemas, exactly one of which carries the queried path —
+    // the analyzed plan must contain ONE record scan, not 200 union branches
+    // (the reference computes the matching schema set from the MPT before
+    // opening any table: search/SchemaMatch.cpp)
+    val dir = Files.createTempDirectory("graft-jsonl-match").toString
+    val recs = Seq.tabulate(200)(i => s"""{"f$i":$i,"msg":"m $i"}""").toDF("json")
+    JsonPipeline.route(spark, recs, "json", dir)
+    val df = JsonPipeline.kqlSearch(spark, dir, "f7 >= 0", Seq("f7"))
+    val scans = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.length == 1, s"expected 1 pre-optimizer scan, got ${scans.length}")
+    assert(df.as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("fuzz: random typed ranges + ts windows equal the direct-filter oracle") {
     // Randomized sweep of the typed-filter + schema-pruning + ts-index layer:
     // a mixed-schema corpus (int/string/float fields present or absent per
