@@ -141,7 +141,14 @@ object GraftQueries {
   private def jsonArchive(s: SparkSession, d: String): String = jsonArchiveCache.synchronized {
     jsonArchiveCache.getOrElseUpdate(d, {
       val out = java.nio.file.Files.createTempDirectory("graft-json-arch").toString
+      // per-source metadata recorded at ingest → the archive range index
+      // (RangeIndexWriter): 20 records per synthetic source file, so the
+      // index maps each filename to one contiguous [s,e) log_event_idx span
       graft.pipeline.JsonPipeline.route(s, jsonlDocs(s, d), "json", out,
+        metadata = Seq(
+          "$_filename" -> concat(lit("logs/"),
+            (col("doc_id") / 20).cast("long").cast("string"), lit(".jsonl")),
+          "$_archive_creator_id" -> lit("graft")),
         options = graft.pipeline.JsonPipeline.Options(
           timestampKey = Some("ts"), orderCol = Some("doc_id")))
       out
@@ -260,6 +267,17 @@ object GraftQueries {
       graft.pipeline.JsonPipeline.extract(s, out)
         .select(col("log_event_idx"), md5(col("json")).as("fp"))
         .orderBy("log_event_idx")
+    }),
+    "jsonl_range_index" -> ((s, d) => {
+      // `$`-namespace filter evaluated against the archive range index at
+      // PLAN time (EvaluateRangeIndexFilters): the filename wildcard selects
+      // matching [s,e) log_event_idx spans, injected as a parquet-pushable
+      // range predicate; the stored metadata column keeps it exact
+      val out = jsonArchive(s, d)
+      graft.pipeline.JsonPipeline
+        .kqlSearch(s, out, """$_filename: "logs/*1.jsonl" AND level: info""",
+          Seq("id", "$_filename"))
+        .orderBy("id")
     }),
     "jsonl_projection" -> ((s, d) => {
       // wildcard projection (clp_s search/Projection.cpp): `meta.*` binds
@@ -1052,6 +1070,12 @@ object GraftQueries {
     "jsonl_extract_e2e" ->
       s"""SELECT doc_id AS log_event_idx, md5($sqlJsonText) AS fp
          |FROM documents ORDER BY 1""".stripMargin,
+    "jsonl_range_index" ->
+      """SELECT doc_id AS id,
+        |  'logs/' || CAST(doc_id // 20 AS VARCHAR) || '.jsonl' AS "$_filename"
+        |FROM documents
+        |WHERE doc_id % 4 = 0 AND CAST((doc_id // 20) % 10 AS INT) = 1
+        |ORDER BY id""".stripMargin,
     "jsonl_projection" ->
       """SELECT doc_id AS id,
         |  CASE WHEN doc_id%4=1 THEN lang END AS "meta.lang",

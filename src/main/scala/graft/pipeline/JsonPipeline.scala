@@ -230,6 +230,27 @@ object JsonPipeline {
       .toDF("schema_id", "descriptor", "n_records", "min_ts", "max_ts")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/schemas")
 
+    // Range index (RangeIndexWriter.hpp:17-38): one [s,e) log_event_idx span
+    // per distinct metadata tuple — the per-ingest-file metadata the
+    // reference records at compression time. Entry count is ingest-source
+    // scale (catalog-like), never row scale; values stored as strings, the
+    // typed row columns stay alongside the records for exact filtering.
+    val rangeCols = shaped.columns.filter(c => c.startsWith("$") && c != "$_ts").toSeq
+    if (rangeCols.nonEmpty) {
+      val entries = shaped
+        .groupBy(rangeCols.map(c => col(s"`$c`")): _*)
+        .agg(min(col("log_event_idx")).as("_s"), max(col("log_event_idx")).as("_e"))
+        .collect()
+        .map { r =>
+          val fields = rangeCols.flatMap(c =>
+            Option(r.getAs[Any](c)).map(v => (c, v.toString))).toMap
+          (r.getAs[Long]("_s"), r.getAs[Long]("_e") + 1L, fields)
+        }
+        .sortBy(_._1).toSeq
+      entries.toDF("start_idx", "end_idx", "fields")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/range_index")
+    }
+
     // MPT leaves: union of every schema's leaf set; deterministic dense node
     // ids by (path, type) sort — the distributed twin of sequential node
     // insertion (SchemaTree.hpp:32-47)
@@ -337,28 +358,65 @@ object JsonPipeline {
     }
     val hasTsFilter = tsLo.isDefined || tsHi.isDefined
 
+    val fullCatalog = loadCatalog(spark, outDir)
+    val records = spark.read.parquet(s"$outDir/records")
+    val metaCols = records.columns.filter(_.startsWith("$")).toSeq
+    val metaFieldsOut = metaCols.map(records.schema(_))
+
+    /** Output (name, type) columns resolved + widened across `entries` —
+      * used both for the real union and for typing an empty result (so a
+      * plan-time-pruned query still returns the archive's column types). */
+    def outTypesFor(entries: Seq[CatalogEntry]): Seq[(String, DataType)] = {
+      val outTypes = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+      entries.foreach { e =>
+        graft.search.KqlCompiler
+          .resolveProjection(StructType(metaFieldsOut ++ e.sparkSchema.fields), selectCols)
+          .foreach { case (nm, dt) =>
+            outTypes.get(nm) match {
+              case None => outTypes(nm) = dt
+              case Some(prev) if prev == dt => ()
+              case Some(prev) =>
+                val bothNumeric = Seq(prev, dt).forall(t =>
+                  t == LongType || t == DoubleType || t.isInstanceOf[DecimalType])
+                outTypes(nm) = if (bothNumeric) DoubleType else StringType
+            }
+          }
+      }
+      outTypes.toSeq
+    }
+
     def emptyResult: DataFrame = {
-      val fields = selectCols.filterNot(_.contains("*"))
-        .map(c => StructField(c, StringType))
+      val resolved = outTypesFor(fullCatalog)
+      val fields =
+        if (resolved.nonEmpty) resolved.map { case (nm, dt) => StructField(nm, dt) }
+        else selectCols.filterNot(_.contains("*")).map(c => StructField(c, StringType))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(fields))
     }
 
-    // plan-time range-index pruning (EvaluateTimestampIndex) happens BEFORE
-    // the records store is even opened — a fully-out-of-range query (or a
-    // time-bounded query over an archive ingested without a timestamp key,
-    // whose ranges are all null — AddTimestampConditions) compiles to an
-    // empty local relation, no file scan at all
-    val catalog = loadCatalog(spark, outDir).filter { e =>
+    // plan-time timestamp-index pruning (EvaluateTimestampIndex) happens
+    // BEFORE the records store is even opened — a fully-out-of-range query
+    // (or a time-bounded query over an archive ingested without a timestamp
+    // key, whose ranges are all null — AddTimestampConditions) compiles to
+    // an empty local relation, no file scan at all
+    val catalog = fullCatalog.filter { e =>
       !hasTsFilter ||
         (e.minTs.isDefined && e.maxTs.isDefined &&
           tsLo.forall(lo => e.maxTs.get >= lo) && tsHi.forall(hi => e.minTs.get <= hi))
     }
     if (catalog.isEmpty) return emptyResult
-
-    val records = spark.read.parquet(s"$outDir/records")
-    val metaCols = records.columns.filter(_.startsWith("$")).toSeq
     if (hasTsFilter && !metaCols.contains("$_ts")) return emptyResult
+
+    // range index, if the archive has one (metadata columns at ingest):
+    // loaded driver-side (ingest-source scale) for plan-time `$`-filter
+    // evaluation (EvaluateRangeIndexFilters.cpp)
+    val riPath = new org.apache.hadoop.fs.Path(s"$outDir/range_index")
+    val rangeIndex: Option[Seq[graft.search.RangeIndex.Entry]] =
+      if (riPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(riPath))
+        Some(spark.read.parquet(riPath.toString).collect().toSeq.map(r =>
+          graft.search.RangeIndex.Entry(r.getAs[Long]("start_idx"),
+            r.getAs[Long]("end_idx"), r.getAs[Map[String, String]]("fields"))))
+      else None
 
     // Per-schema typed frames + predicate. SchemaMatch prunes FIRST: the
     // predicate is compiled against each schema's derived StructType (no
@@ -367,21 +425,26 @@ object JsonPipeline {
     // schemas), not O(catalog), in both plan size and analysis time (the
     // reference computes the matching schema set from the MPT before any
     // table is opened — search/SchemaMatch.cpp).
-    val metaFields = metaCols.map(records.schema(_))
+    val metaFields = metaCols.map(records.schema(_)) :+
+      StructField("log_event_idx", LongType)
     val frames = catalog.flatMap { e =>
       val fullSchema = StructType(metaFields ++ e.sparkSchema.fields)
-      val kqlPred = graft.search.KqlCompiler.compile(ast, fullSchema)
-      val predExpr = org.apache.spark.sql.GraftInternals.expression(kqlPred)
-      val cantMatch = predExpr.foldable &&
-        scala.util.Try(predExpr.eval(null)).toOption.forall(_ != true)
+      val kqlPred = graft.search.KqlCompiler.compile(ast, fullSchema, rangeIndex)
+      // short-circuit boolean fold BEFORE any plan is built: `$`-filters
+      // matching no index entry, or paths absent from this schema, fold the
+      // whole predicate to a non-true constant and the scan is never
+      // compiled (the reference's EmptyExpr / SchemaMatch prune)
+      val cantMatch = org.apache.spark.sql.GraftInternals.foldedValue(kqlPred)
+        .exists(_ != true)
       if (cantMatch) None
       else {
         val df = records.filter(col("schema_id") === e.schemaId) // partition-pruned
           .withColumn("_rec", from_json(col("_raw"), e.sparkSchema))
-          .select(metaCols.map(m => col(s"`$m`")) :+ col("_rec.*"): _*)
+          .select(metaCols.map(m => col(s"`$m`")) ++
+            Seq(col("log_event_idx")) :+ col("_rec.*"): _*)
         val tsPred = (tsLo.map(col("`$_ts`") >= _) ++ tsHi.map(col("`$_ts`") <= _))
           .reduceOption(_ && _).getOrElse(lit(true))
-        Some((e, df.filter(kqlPred && tsPred)))
+        Some((e, df.filter(kqlPred && tsPred).drop("log_event_idx")))
       }
     }
     if (frames.isEmpty) return emptyResult
@@ -391,21 +454,8 @@ object JsonPipeline {
       case (_, df) =>
         (df, graft.search.KqlCompiler.resolveProjection(df.schema, selectCols))
     }
-    val outTypes = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
-    resolvedPerSchema.foreach { case (_, cols) =>
-      cols.foreach { case (nm, dt) =>
-        outTypes.get(nm) match {
-          case None => outTypes(nm) = dt
-          case Some(prev) if prev == dt => ()
-          case Some(prev) =>
-            val bothNumeric = Seq(prev, dt).forall(t =>
-              t == LongType || t == DoubleType || t.isInstanceOf[DecimalType])
-            outTypes(nm) = if (bothNumeric) DoubleType else StringType
-        }
-      }
-    }
-    if (outTypes.isEmpty) return emptyResult
-    val outCols = outTypes.toSeq
+    val outCols = outTypesFor(frames.map(_._1))
+    if (outCols.isEmpty) return emptyResult
 
     val parts = resolvedPerSchema.map { case (df, cols) =>
       val have = cols.map(_._1).toSet

@@ -67,6 +67,20 @@ object KqlCompiler {
     walk(schema, Nil, None)
   }
 
+  /**
+   * Namespace rule (SchemaMatch: a descriptor's namespace must match before
+   * any name matching; wildcard descriptors carry the DEFAULT namespace —
+   * clp_s/search/ast/ColumnDescriptor, archive_constants.hpp:32-37): columns
+   * in the `$` range-index/metadata namespace are only addressable by a
+   * pattern that literally enters it, never by `*` or a bare-value filter;
+   * the internal `log_event_idx` store column only by its exact name.
+   */
+  private def namespaceOk(pattern: Seq[String], path: Seq[String]): Boolean =
+    if (path.headOption.exists(_.startsWith("$")))
+      pattern.headOption.exists(_.startsWith("$"))
+    else if (path == Seq("log_event_idx")) pattern == Seq("log_event_idx")
+    else true
+
   private def pathMatches(pattern: Seq[String], path: Seq[String]): Boolean = {
     // per-segment wildcard match; a lone '*' segment spans exactly one level
     // except leading/trailing '*' which may span multiple (reference semantics
@@ -87,6 +101,11 @@ object KqlCompiler {
   /** Interprets KQL escape sequences. `forPattern=true` keeps `\*`/`\?`/`\\`
     * escaped (they are wildcard-special in the matcher); otherwise they
     * become the literal character. */
+  private[search] def unescapeValue(v: String, forPattern: Boolean): String =
+    kqlUnescape(v, forPattern)
+
+  private[search] def valueHasWildcard(v: String): Boolean = hasWildcard(v)
+
   private def kqlUnescape(v: String, forPattern: Boolean): String = {
     val sb = new java.lang.StringBuilder(v.length)
     var i = 0
@@ -197,16 +216,18 @@ object KqlCompiler {
 
   /** NNF compile with SchemaMatch existence semantics: `neg` tracks whether
     * we are under an odd number of NOTs. */
-  private def nnf(expr: Kql.Expr, schema: StructType, neg: Boolean): Column = expr match {
+  private def nnf(expr: Kql.Expr, schema: StructType, neg: Boolean,
+                  rangeIndex: Option[Seq[RangeIndex.Entry]]): Column = expr match {
     case Kql.And(l, r) =>
-      if (neg) nnf(l, schema, neg) || nnf(r, schema, neg)
-      else nnf(l, schema, neg) && nnf(r, schema, neg)
+      if (neg) nnf(l, schema, neg, rangeIndex) || nnf(r, schema, neg, rangeIndex)
+      else nnf(l, schema, neg, rangeIndex) && nnf(r, schema, neg, rangeIndex)
     case Kql.Or(l, r) =>
-      if (neg) nnf(l, schema, neg) && nnf(r, schema, neg)
-      else nnf(l, schema, neg) || nnf(r, schema, neg)
-    case Kql.Not(e) => nnf(e, schema, !neg)
+      if (neg) nnf(l, schema, neg, rangeIndex) && nnf(r, schema, neg, rangeIndex)
+      else nnf(l, schema, neg, rangeIndex) || nnf(r, schema, neg, rangeIndex)
+    case Kql.Not(e) => nnf(e, schema, !neg, rangeIndex)
     case Kql.Filter(pattern, op, value, isDate) =>
-      val matched = leaves(schema).filter { case (p, _) => pathMatches(pattern, p) }
+      val matched = leaves(schema).filter { case (p, _) =>
+        namespaceOk(pattern, p) && pathMatches(pattern, p) }
       // column ABSENT from the schema ⇒ the filter cannot match, negated or
       // not (SchemaMatch prunes it); column PRESENT but the (type, value)
       // combination impossible ⇒ the inner filter is constant-false, which a
@@ -214,7 +235,32 @@ object KqlCompiler {
       if (matched.isEmpty) lit(false)
       else {
         val preds = matched.flatMap { case (_, leaf) => leafColumn(leaf, op, value, isDate) }
-        val base = if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
+        val base0 = if (preds.isEmpty) lit(false) else preds.reduce(_ || _)
+        // `$`-namespace filter with a range index available: evaluate the
+        // filter against the index entries at plan time
+        // (EvaluateRangeIndexFilters.cpp). No matching entry ⇒ FALSE (the
+        // reference's EmptyExpr — the whole schema folds away, no scan);
+        // matching entries ⇒ inject their coalesced [s,e) spans as a
+        // log_event_idx predicate (parquet row-group pushdown) conjoined
+        // with the row predicate, which keeps the rewrite exact even for
+        // overlapping ranges. `$_ts` is the timestamp index's column, not a
+        // range-index key — it keeps its plain row predicate.
+        val base = rangeIndex match {
+          case Some(entries)
+              if pattern.length == 1 && pattern.head.startsWith("$") &&
+                pattern.head != "$_ts" =>
+            val key = pattern.head
+            val hits = entries.filter(_.fields.get(key)
+              .exists(v => RangeIndex.satisfies(v, op, value, isDate)))
+            if (hits.isEmpty) lit(false)
+            else {
+              val idx = col("log_event_idx")
+              RangeIndex.coalesceRanges(hits.map(e => (e.startIdx, e.endIdx)))
+                .map { case (s, e) => idx >= s && idx < e }
+                .reduce(_ || _) && base0
+            }
+          case _ => base0
+        }
         // null-safe negation: NULL column values count as not-matching the
         // inner filter, so they DO match the negation
         if (neg) !coalesce(base, lit(false)) else base
@@ -222,7 +268,14 @@ object KqlCompiler {
   }
 
   def compile(expr: Kql.Expr, schema: StructType): Column =
-    nnf(expr, schema, neg = false)
+    nnf(expr, schema, neg = false, None)
+
+  /** Compile with range-index-aware `$`-namespace filter evaluation; the
+    * schema must expose a `log_event_idx` long column for the injected
+    * range predicates to bind against. */
+  def compile(expr: Kql.Expr, schema: StructType,
+              rangeIndex: Option[Seq[RangeIndex.Entry]]): Column =
+    nnf(expr, schema, neg = false, rangeIndex)
 
   /**
    * Resolves projection patterns against a schema — the clp_s
@@ -247,7 +300,8 @@ object KqlCompiler {
     patterns.foreach { pat =>
       val segs = pat.split('.').toSeq
       all.foreach { case (path, dt) =>
-        if (pathMatches(segs, path)) out.getOrElseUpdate(path.mkString("."), dt)
+        if (namespaceOk(segs, path) && pathMatches(segs, path))
+          out.getOrElseUpdate(path.mkString("."), dt)
       }
     }
     out.toSeq

@@ -10,4 +10,59 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftInternals {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /**
+   * Driver-side constant value of a predicate Column after short-circuit
+   * boolean simplification, or None when it does not fold. Catalyst's own
+   * BooleanSimplification runs only inside plan optimization; this runs the
+   * same AND/OR/NOT short-circuits BEFORE any plan exists, so a compiled
+   * per-schema predicate like `false && (k >= 50)` is recognized as
+   * constant-false and the schema's scan is never built (plan size stays
+   * O(matching schemas), not O(catalog)).
+   */
+  def foldedValue(c: Column): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, Literal, Not, Or}
+    def simp(e: Expression): Expression = e match {
+      case And(l, r) =>
+        (simp(l), simp(r)) match {
+          case (Literal(false, _), _) | (_, Literal(false, _)) => Literal(false)
+          case (Literal(true, _), rr) => rr
+          case (ll, Literal(true, _)) => ll
+          case (ll, rr) => And(ll, rr)
+        }
+      case Or(l, r) =>
+        (simp(l), simp(r)) match {
+          case (Literal(true, _), _) | (_, Literal(true, _)) => Literal(true)
+          case (Literal(false, _), rr) => rr
+          case (ll, Literal(false, _)) => ll
+          case (ll, rr) => Or(ll, rr)
+        }
+      case Not(x) =>
+        simp(x) match {
+          case Literal(b: Boolean, _) => Literal(!b)
+          case Literal(null, _) => Literal(null, e.dataType)
+          case s => Not(s)
+        }
+      case Coalesce(children) =>
+        val cs = children.map(simp)
+        cs.find {
+          case Literal(v, _) => v != null
+          case _ => false
+        } match {
+          case Some(firstNonNull) if cs.takeWhile(_ != firstNonNull).forall {
+                case Literal(null, _) => true
+                case _ => false
+              } => firstNonNull
+          case _ => Coalesce(cs)
+        }
+      case other if other.foldable =>
+        scala.util.Try(Literal.create(other.eval(null), other.dataType))
+          .getOrElse(other)
+      case other => other
+    }
+    simp(expression(c)) match {
+      case Literal(v, _) => Some(v)
+      case _ => None
+    }
+  }
 }

@@ -118,6 +118,22 @@ class JsonShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("reserialize normalizes non-canonical input escapes (reference semantics)") {
+    // clp_s reconstructs strings from the *stored decoded value* via
+    // escape_json_string (Utils.cpp:166, ColumnReader.cpp:175,222), so
+    // redundant source escapes (unicode-escaped ASCII, solidus) come back
+    // in canonical form -- reconstruction is value-exact, not
+    // source-byte-exact, for non-canonically-escaped input. We match that.
+    // (Inputs built with \\ to keep scalac's own unicode pass out of it.)
+    val uA = "{\"m\":\"\\u0041\\/B\"}"
+    assert(JsonShape.reserialize(JsonShape.typedLeaves(uA)) == """{"m":"A/B"}""")
+    // control characters keep an escaped form: \u00xx below 0x20, short
+    // forms for \b \t \n \f \r
+    val ctl = "{\"m\":\"\\u0001\\u0009\"}"
+    assert(JsonShape.reserialize(JsonShape.typedLeaves(ctl)) ==
+      "{\"m\":\"\\u0001\\t\"}")
+  }
+
   test("structurize-arrays: StructuredArray node plus element child leaves") {
     val json = """{"arr":[{"a":999},{"b":1001}],"k":1}"""
     val ls = JsonShape.typedLeaves(json, structurizeArrays = true)

@@ -114,6 +114,54 @@ class JsonSearchSpec extends SparkSpecBase {
     assert(meta.head.getAs[String]("$_filename") == "test_search.jsonl")
   }
 
+  test("range index: $-filters evaluate at plan time (EvaluateRangeIndexFilters)") {
+    import org.apache.spark.sql.functions.{col, concat}
+    val dir = Files.createTempDirectory("graft-ri-arch").toString
+    // 12 records across 3 synthetic source files of 4; `$_file_split_number`
+    // deliberately INTERLEAVES (i % 2) so its per-value spans overlap — the
+    // reference forbids overlap, we must stay exact anyway (row predicate)
+    val df = (0 until 12).map(i => (i.toLong, s"""{"idx": $i, "v": ${i * 10}}"""))
+      .toDF("i", "json")
+    JsonPipeline.route(spark, df, "json", dir,
+      metadata = Seq(
+        "$_filename" -> concat(lit("f"), (col("i") / 4).cast("long").cast("string"), lit(".jsonl")),
+        "$_file_split_number" -> (col("i") % 2)),
+      options = JsonPipeline.Options(orderCol = Some("i")))
+
+    // the index holds one [s,e) span per distinct metadata tuple
+    val idx = spark.read.parquet(s"$dir/range_index")
+      .orderBy("start_idx", "end_idx").collect()
+    assert(idx.length == 6) // 3 files × 2 interleaved split values
+    assert(idx.forall(r => r.getAs[Long]("end_idx") > r.getAs[Long]("start_idx")))
+
+    assert(ids("""$_filename: "f1.jsonl"""", dir) == Set(4L, 5L, 6L, 7L))
+    assert(ids("""$_filename: "f*"""", dir) == (0L until 12L).toSet)
+    assert(ids("""$_filename: "nope.jsonl"""", dir) == Set.empty)
+    // overlap soundness: interleaved key stays exact through the row pred
+    assert(ids("$_file_split_number: 0", dir) == Set(0L, 2L, 4L, 6L, 8L, 10L))
+    assert(ids("$_file_split_number > 0", dir) == Set(1L, 3L, 5L, 7L, 9L, 11L))
+    assert(ids("""NOT $_filename: "f1.jsonl"""", dir) ==
+      Set(0L, 1L, 2L, 3L, 8L, 9L, 10L, 11L))
+    assert(ids("""$_filename: "f0.jsonl" OR v >= 100""", dir) ==
+      Set(0L, 1L, 2L, 3L, 10L, 11L))
+    // `$` columns are NOT addressable by wildcard/bare-value filters
+    // (namespace rule: SchemaMatch matches namespace before name)
+    assert(ids("""*: "f1.jsonl"""", dir) == Set.empty)
+
+    // plan-time: a no-entry filter folds the schema away — no parquet scan
+    val noMatch = JsonPipeline.kqlSearch(spark, dir,
+      """$_filename: "zz.jsonl"""", Seq("idx"))
+    val p0 = noMatch.queryExecution.optimizedPlan.toString
+    assert(!p0.contains("Relation"), s"expected no scan, got:\n$p0")
+    // a matching filter pushes the injected log_event_idx span to the scan
+    val hit = JsonPipeline.kqlSearch(spark, dir,
+      """$_filename: "f1.jsonl"""", Seq("idx"))
+    val pe = hit.queryExecution.executedPlan.toString
+    assert(pe.contains("GreaterThanOrEqual(log_event_idx,4")
+      || pe.contains("log_event_idx >= 4"), s"expected pushed range, got:\n$pe")
+    assert(hit.count() == 4)
+  }
+
   test("reference formatted-float query table (value-domain equality)") {
     val floats = Seq(
       """{ "idx": 0, "msg": "xxx", "formattedFloatValue": -1.000000E3 }""",
