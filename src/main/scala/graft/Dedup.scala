@@ -26,6 +26,49 @@ import graft.functions.ClpFunctions.{minhash_sigs, simhash64, vec_dot}
  */
 object Dedup {
 
+  /**
+   * Connected components over a near-dup pair graph — the clustering step a
+   * real dedup pipeline runs after pair generation (each component keeps one
+   * canonical document; the rest are dropped). Returns one row per vertex
+   * that appears in any edge: (doc_id, cluster_id) with cluster_id = the
+   * component's minimum vertex id, so the canonical representative is
+   * deterministic.
+   *
+   * Algorithm: min-label propagation ("hash-to-min") — every round each
+   * vertex takes the minimum label among itself and its neighbors, a
+   * narrow join + partial-aggregated groupBy per round, converging in
+   * O(component diameter) rounds. Near-dup components are near-cliques
+   * (diameter 2-3), so 3-4 rounds settle real workloads; `localCheckpoint`
+   * truncates the growing lineage each round so round N's plan does not
+   * re-derive rounds 1..N-1. For adversarial long-chain graphs the
+   * alternating small-star/large-star variant (O(log n) rounds) is the
+   * published upgrade path; the join shape below is identical.
+   */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    val sym = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val next = sym.join(labels.withColumnRenamed("id", "s"), Seq("s"))
+        .select(col("d").as("id"), col("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so one anti-ish comparison detects the
+      // fixpoint; count() is the round's single action
+      done = next.alias("n").join(labels.alias("o"), "id")
+        .filter(col("n.lbl") < col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Deterministic MinHash family (splitmix-derived, odd multipliers). */
   def minhashFamily(n: Int, mod: Long = 1000033L): (Array[Long], Array[Long]) = {
     def mix(v: Long): Long = {

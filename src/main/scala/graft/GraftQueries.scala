@@ -49,6 +49,21 @@ object GraftQueries {
     aggregate(sh, lit(Long.MaxValue),
       (acc, s) => least(acc, (lit(a.toLong) * (mdHash(s) % 1000003L) + lit(b.toLong)) % MinhashMod))
 
+  /** Verified near-dup pairs: exact 3-gram Jaccard ≥ 0.2 over all doc pairs
+    * — the shared kernel behind `dedup_ngram_jaccard` (the pair gate) and
+    * `dedup_clusters` (components over the pair graph). */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), array_distinct(shingles(split(col("text"), " "))).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("j", round(
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double"), 4))
+      .filter(col("j") >= 0.2)
+  }
+
   // ---- encoded-domain search lifecycle under the oracle gate --------------
   // documents-derived transcript turns with synthetic trailing variables
   // (an int status code and a `code=<lang>` dict token) so the archive's
@@ -825,20 +840,17 @@ object GraftQueries {
       }.reduce(_ + _)
       t(s, d, "documents").select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
     }),
-    "dedup_ngram_jaccard" -> ((s, d) => {
+    "dedup_ngram_jaccard" -> ((s, d) =>
       // exact n-gram Jaccard over all pairs above threshold (verification
       // kernel for the LSH candidates below)
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), array_distinct(shingles(split(col("text"), " "))).as("sh"))
-      val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      a.crossJoin(b).filter(col("a_id") < col("b_id"))
-        .withColumn("j", round(
-          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-            size(array_union(col("a_sh"), col("b_sh"))).cast("double"), 4))
-        .filter(col("j") >= 0.2)
-        .select("a_id", "b_id", "j").orderBy("a_id", "b_id")
-    }),
+      ngramJaccardPairs(s, d).select("a_id", "b_id", "j").orderBy("a_id", "b_id")),
+    "dedup_clusters" -> ((s, d) =>
+      // dedup clustering: connected components over the verified near-dup
+      // pair graph — the step a real pipeline runs after pair generation to
+      // pick ONE canonical doc (min doc_id) per duplicate cluster; min-label
+      // propagation, one narrow join+agg per round (graft.Dedup)
+      graft.Dedup.connectedComponents(ngramJaccardPairs(s, d), "a_id", "b_id")
+        .orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, d) => {
       // full MinHash+LSH dedup: band → bucket join → exact-jaccard verify.
       // (No SQL oracle: LSH banding isn't SQL-expressible; the verify kernel
@@ -1156,6 +1168,24 @@ object GraftQueries {
          |          CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS j
          |  FROM sd a, sd b WHERE a.doc_id < b.doc_id)
          |WHERE j >= 0.2 ORDER BY a_id, b_id""".stripMargin,
+    // connected components via a recursive reachability CTE: every vertex's
+    // cluster_id is the min doc_id reachable in the near-dup pair graph —
+    // the same fixpoint min-label propagation converges to.
+    "dedup_clusters" ->
+      s"""${sqlShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sd AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sd a, sd b WHERE a.doc_id < b.doc_id
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) >= 0.2),
+         |e AS (SELECT a_id AS es, b_id AS ed FROM p
+         |  UNION SELECT b_id, a_id FROM p),
+         |r(id, lbl) AS (
+         |  SELECT es, es FROM e
+         |  UNION
+         |  SELECT e.ed, r.lbl FROM r JOIN e ON e.es = r.id)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(floor(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS bucket_ms,
         |  event_type, count(*) AS n
