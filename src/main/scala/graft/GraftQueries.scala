@@ -851,6 +851,18 @@ object GraftQueries {
       // propagation, one narrow join+agg per round (graft.Dedup)
       graft.Dedup.connectedComponents(ngramJaccardPairs(s, d), "a_id", "b_id")
         .orderBy("doc_id")),
+    "dedup_keep_canonical" -> ((s, d) => {
+      // the dedup pipeline's actual OUTPUT: the corpus with near-duplicates
+      // removed — every doc except non-canonical cluster members (anti-join
+      // against components; the canonical member is the cluster minimum, so
+      // exactly one survivor per duplicate cluster, all singletons kept)
+      val drop = graft.Dedup
+        .connectedComponents(ngramJaccardPairs(s, d), "a_id", "b_id")
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      t(s, d, "documents").join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars")).orderBy("doc_id")
+    }),
     "dedup_minhash_pairs" -> ((s, d) => {
       // full MinHash+LSH dedup: band → bucket join → exact-jaccard verify.
       // (No SQL oracle: LSH banding isn't SQL-expressible; the verify kernel
@@ -963,6 +975,30 @@ object GraftQueries {
              sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
         .select("vec_id", "score")
         .orderBy(desc("score"), asc("vec_id")).limit(3)
+    }),
+
+    // ---- IVF ANN: spherical-k-means cells (deterministic init, fixed
+    // Lloyd rounds), probe the nProbe nearest cells, exact cosine within
+    // them — the trainable scale path next to LSH; persisted
+    // partitionBy("cell") the probe is a partition-pruned scan (asserted
+    // in KnnIvfSpec). No SQL oracle (k-means isn't SQL-expressible); the
+    // sbt suite asserts probe-all ≡ brute force and recall at nProbe. ----
+    "knn_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
+      val qVec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val cells = KnnIvf.probeCells(qVec, centroids, nProbe = 2)
+      val idx = KnnIvf.index(e.filter(col("vec_id") =!= 0), "embedding", centroids)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      idx.filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+        .crossJoin(broadcast(q))
+        .withColumn("score", round(
+          vec_dot(col("embedding"), col("q_emb")) /
+            (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+             sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
+        .select("vec_id", "score")
+        .orderBy(desc("score"), asc("vec_id")).limit(5)
     }),
 
     // ---- the bucketed embedding DEDUP end-to-end (the 100 TB shape the
@@ -1186,6 +1222,24 @@ object GraftQueries {
          |  SELECT e.ed, r.lbl FROM r JOIN e ON e.es = r.id)
          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    // dedup output: anti-join documents against non-canonical component
+    // members (same recursive reachability CTE as dedup_clusters).
+    "dedup_keep_canonical" ->
+      s"""${sqlShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sd AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sd a, sd b WHERE a.doc_id < b.doc_id
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) >= 0.2),
+         |e AS (SELECT a_id AS es, b_id AS ed FROM p
+         |  UNION SELECT b_id, a_id FROM p),
+         |r(id, lbl) AS (
+         |  SELECT es, es FROM e
+         |  UNION
+         |  SELECT e.ed, r.lbl FROM r JOIN e ON e.es = r.id),
+         |drop AS (SELECT id FROM r GROUP BY id HAVING id <> min(lbl))
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drop) ORDER BY doc_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(floor(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS bucket_ms,
         |  event_type, count(*) AS n

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ClpFunctions.vec_dot
+
+/** IVF (inverted-file) ANN index for cosine similarity: spherical k-means
+  * partitions the corpus into `nlist` cells; a query probes only the
+  * `nProbe` cells whose centroids are nearest, scanning `~nProbe/nlist` of
+  * the data instead of all of it. This is the classic scale path next to
+  * the hyperplane-LSH one in [[KnnLsh]]: LSH needs no training but its
+  * recall is fixed by the plane set, while IVF trades a small training pass
+  * for a tunable recall/scan-fraction knob.
+  *
+  * Scale notes (the 100 TB shape):
+  *  - The centroid table is small BY CONSTRUCTION (≤ ~64k cells even for
+  *    very large corpora), so collecting it once per Lloyd round and
+  *    re-binding it as expression literals is driver-safe — the per-row
+  *    assignment and the per-dimension means stay fully distributed.
+  *  - Train on a deterministic sample (pass the sample as `df`); assign the
+  *    full corpus once and persist `partitionBy("cell")` so probes become
+  *    partition-pruned scans (asserted in KnnIvfSpec).
+  *  - Everything per-row is codegen'd `vec_dot` — no Scala UDF in the
+  *    assignment or scoring path.
+  */
+object KnnIvf {
+
+  /** L2-normalize an `array<float|double>` column to `array<double>` (zero
+    * vectors stay zero, so the dot of anything with them is 0, not NaN). */
+  def normalized(emb: Column): Column = {
+    val d = transform(emb, x => x.cast("double"))
+    val n = sqrt(vec_dot(d, d))
+    transform(d, x => when(n > 0, x / n).otherwise(lit(0.0)))
+  }
+
+  /** Nearest-centroid id by dot product (≡ cosine on normalized input) as a
+    * single codegen-friendly Column: one `vec_dot` against each centroid
+    * literal, folded with `greatest` over (dot, -cid) structs so the
+    * smallest cid wins exact ties deterministically. */
+  def nearestCentroidCol(emb: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(vec_dot(emb, typedLit(c.toSeq)).as("dot"), lit(-i).as("nid"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
+    (-best.getField("nid")).cast("int")
+  }
+
+  /** Local mirror of [[nearestCentroidCol]] for driver-side vectors. */
+  def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var dot = 0.0
+      var k = 0
+      val n = math.min(v.length, c.length)
+      while (k < n) { dot += v(k) * c(k); k += 1 }
+      if (dot > bestDot) { bestDot = dot; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private def l2norm(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) v.map(_ / n) else v
+  }
+
+  /** Spherical k-means (Lloyd's) with deterministic seeding: the initial
+    * centroids are the normalized embeddings of the `nlist` lowest ids, and
+    * each round reassigns (distributed, codegen'd) then recomputes
+    * per-dimension means (one posexplode + groupBy) and re-normalizes.
+    * Cells that go empty keep their previous centroid. Fixed `iters`, no
+    * RNG — the whole index is reproducible from the input. */
+  def trainCentroids(df: DataFrame, idCol: String, embCol: String,
+                     nlist: Int, iters: Int): Array[Array[Double]] = {
+    val base = df.select(col(idCol).as("id"), normalized(col(embCol)).as("e"))
+    var centroids: Array[Array[Double]] = base.orderBy("id").limit(nlist)
+      .select(col("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val means = base
+        .select(nearestCentroidCol(col("e"), centroids).as("cid"),
+          posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), col("pm.m").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        val m = l2norm(r.getSeq[Double](1).toArray)
+        if (m.exists(_ != 0.0)) next(r.getInt(0)) = m
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Assign every vector to its cell: (idCol, embCol untouched, cell). The
+    * caller persists this `partitionBy("cell")` so probes prune at the
+    * file level. */
+  def index(df: DataFrame, embCol: String,
+            centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("cell", nearestCentroidCol(normalized(col(embCol)), centroids))
+
+  /** The `nProbe` cells nearest to a query vector (driver-side: the probe
+    * list is per-query and centroid-sized). Ties break to the smaller id. */
+  def probeCells(q: Array[Double], centroids: Array[Array[Double]],
+                 nProbe: Int): Array[Int] = {
+    val qn = l2norm(q)
+    centroids.zipWithIndex
+      .map { case (c, i) =>
+        val n = math.min(c.length, qn.length)
+        var dot = 0.0
+        var k = 0
+        while (k < n) { dot += c(k) * qn(k); k += 1 }
+        (dot, i)
+      }
+      .sortBy { case (d, i) => (-d, i) }
+      .take(nProbe).map(_._2)
+  }
+}

@@ -16,8 +16,10 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle per query (omitted ⇒ rows-only check:
     * dedup_minhash_pairs [LSH banding], knn_lsh [ANN bucket probe],
-    * knn_lsh_multiprobe [Hamming-1 probe], dedup_embedding_lsh [LSH-bucketed
-    * cosine] — their exact kernels ARE oracle-checked via
-    * dedup_ngram_jaccard / knn_bruteforce / dedup_embedding). */
+    * knn_lsh_multiprobe [Hamming-1 probe], knn_ivf [k-means cells],
+    * dedup_embedding_lsh [LSH-bucketed cosine] — their exact kernels ARE
+    * oracle-checked via dedup_ngram_jaccard / knn_bruteforce /
+    * dedup_embedding, and the sbt suite asserts recall / probe-all
+    * equivalence vs those baselines). */
   def oracleSql: Map[String, String] = GraftQueries.oracleSql
 }

@@ -50,4 +50,18 @@ class DedupClusterSpec extends SparkSpecBase {
       assert(members.keys.min == lbl, s"cluster $lbl not labeled by its min")
     }
   }
+
+  test("dedup_keep_canonical keeps exactly one doc per cluster plus singletons") {
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val labels = GraftQueries.queries("dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = GraftQueries.queries("dedup_keep_canonical")(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expected = all -- labels.collect { case (id, lbl) if id != lbl => id }
+    assert(kept == expected)
+    // every cluster contributes exactly its canonical member
+    labels.values.toSet.foreach { lbl: Long => assert(kept.contains(lbl)) }
+  }
 }
