@@ -690,6 +690,30 @@ object GraftQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic sampling / split assignment ----
+    "split_train_val" -> ((s, d) => {
+      // seed-stable train/val/test assignment: a salted cross-engine hash
+      // of the doc id buckets each row into 0..99 — reproducible across
+      // runs, engines, and cluster sizes (pure per-row expression: no RNG
+      // state, no shuffle, survives repartitioning unchanged)
+      val bucket = mdHash(concat(lit("split:"), col("doc_id").cast("string"))) % 100L
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+    "sample_stratified" -> ((s, d) => {
+      // per-language stratified downsampling (the data-mixing primitive:
+      // thin dominant languages, keep the rest): keep iff salted hash mod
+      // 100 < rate(lang); deterministic single-pass filter, no RNG
+      val bucket = mdHash(concat(lit("sample:"), col("doc_id").cast("string"))) % 100L
+      val rate = when(col("lang") === "en", 50L)
+        .when(col("lang") === "fr", 80L).otherwise(100L)
+      t(s, d, "documents").filter(bucket < rate)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // ---- similarity search ----
     "knn_bruteforce" -> ((s, d) => {
       // brute-force cosine top-k for query vector 0 (exact baseline)
@@ -1356,6 +1380,17 @@ object GraftQueries {
       """SELECT doc_id, CASE WHEN text LIKE '% the %' OR text LIKE 'the %'
         |  THEN 'en' ELSE 'other' END AS pred_lang
         |FROM documents ORDER BY 1""".stripMargin,
+    "split_train_val" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${sqlHash("'split:'||CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${sqlHash("'split:'||CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlHash("'sample:'||CAST(doc_id AS VARCHAR)")} % 100 <
+         |  (CASE WHEN lang='en' THEN 50 WHEN lang='fr' THEN 80 ELSE 100 END)
+         |ORDER BY doc_id""".stripMargin,
     "knn_bruteforce" ->
       """SELECT b.vec_id, round(list_cosine_similarity(b.embedding, q.embedding), 4) AS score
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
