@@ -889,9 +889,9 @@ object GraftQueries {
     }),
     "dedup_minhash_pairs" -> ((s, d) => {
       // full MinHash+LSH dedup: band → bucket join → exact-jaccard verify.
-      // (No SQL oracle: LSH banding isn't SQL-expressible; the verify kernel
-      // is oracle-checked by dedup_ngram_jaccard, signatures by
-      // dedup_minhash_sig.) Bands of 1 row over 4 sigs, verify j >= 0.2.
+      // Bands of 1 row over 4 sigs, verify j >= 0.2. Oracle: with r=1 the
+      // band key IS the signature value, so DuckDB re-derives the candidate
+      // set as an OR of per-band signature equalities.
       val w = split(col("text"), " ")
       val sh = shingles(w)
       val sigCols = MinhashFns.zipWithIndex.map { case ((a, b), j) =>
@@ -1005,8 +1005,9 @@ object GraftQueries {
     // Lloyd rounds), probe the nProbe nearest cells, exact cosine within
     // them — the trainable scale path next to LSH; persisted
     // partitionBy("cell") the probe is a partition-pruned scan (asserted
-    // in KnnIvfSpec). No SQL oracle (k-means isn't SQL-expressible); the
-    // sbt suite asserts probe-all ≡ brute force and recall at nProbe. ----
+    // in KnnIvfSpec). No SQL oracle at nProbe=2 (k-means isn't
+    // SQL-expressible); the probe-all twin knn_ivf_all below IS under the
+    // brute-force oracle, and the sbt suite asserts recall at nProbe. ----
     "knn_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
@@ -1025,22 +1026,47 @@ object GraftQueries {
         .orderBy(desc("score"), asc("vec_id")).limit(5)
     }),
 
+    // ---- IVF probe-all correctness gate: with nProbe = nlist the cell
+    // filter keeps every row, so the result MUST equal brute-force top-k —
+    // this puts the whole train→index→probe→score path under the DuckDB
+    // oracle (the only thing nProbe=2 above adds is which cells are
+    // skipped, and KnnIvfSpec covers that recall). ----
+    "knn_ivf_all" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
+      val qVec = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val cells = KnnIvf.probeCells(qVec, centroids, nProbe = 8)
+      val idx = KnnIvf.index(e.filter(col("vec_id") =!= 0), "embedding", centroids)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      idx.filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+        .crossJoin(broadcast(q))
+        .withColumn("score", round(
+          vec_dot(col("embedding"), col("q_emb")) /
+            (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+             sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
+        .select("vec_id", "score")
+        .orderBy(desc("score"), asc("vec_id")).limit(5)
+    }),
+
     // ---- the bucketed embedding DEDUP end-to-end (the 100 TB shape the
     // exact dedup_embedding kernel runs inside): LSH bucket → per-bucket
-    // all-pairs exact cosine via pre-normalized codegen'd vec_dot. No SQL
-    // oracle (LSH banding); the sbt suite asserts every emitted pair is in
-    // the exact all-pairs result and measures recall. ----
+    // exact cosine with the norm computed ONCE per row (not per pair).
+    // Oracle: the plane set is deterministic, so the SQL inlines it as
+    // DOUBLE[] literals and recomputes bucket + cosine in DuckDB. ----
     "dedup_embedding_lsh" -> ((s, d) => {
       val planes = KnnLsh.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
       val e = t(s, d, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+        .select(col("vec_id"), col("embedding").as("emb"))
         .withColumn("norm", sqrt(vec_dot(col("emb"), col("emb"))))
-        .select(col("vec_id"), transform(col("emb"), x => x / col("norm")).as("emb"))
         .withColumn("bucket", KnnLsh.bucketCol(col("emb"), planes))
-      val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
-      val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("emb").as("a_emb"), col("norm").as("a_norm"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("emb").as("b_emb"), col("norm").as("b_norm"))
       a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id")) // co-bucketed pairs only
-        .withColumn("cos", round(vec_dot(col("a_emb"), col("b_emb")), 4))
+        .withColumn("cos", round(
+          vec_dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")), 4))
         .filter(col("cos") >= 0.4)
         .select("a_id", "b_id", "cos").orderBy("a_id", "b_id")
     })
@@ -1053,6 +1079,26 @@ object GraftQueries {
   private val sqlMinhashCols: String = MinhashFns.zipWithIndex.map { case ((a, b), j) =>
     s"CAST(list_aggregate(list_transform(sh, t -> ($a * (${sqlHash("t")} % 1000003) + $b) % $MinhashMod), 'min') AS BIGINT) AS mh$j"
   }.mkString(",\n  ")
+
+  /** DuckDB form of [[KnnLsh.bucketCol]]: the deterministic plane set
+    * inlined as DOUBLE[] literals. Sign bits match Spark exactly because
+    * both sides compute the dot in double over the same element order
+    * (DuckDB's FLOAT[] overload computes in float — the casts matter). */
+  private def sqlBucketExpr(embCol: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST($embCol AS DOUBLE[]), CAST($arr AS DOUBLE[])) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+
+  /** DuckDB cosine written as the exact IEEE sequence the Spark queries use:
+    * dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))), all in double. */
+  private def sqlCos(a: String, b: String): String =
+    s"""list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+       |    / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+       |       * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))""".stripMargin
+
+  private lazy val sqlLshBucket: String =
+    sqlBucketExpr("embedding", KnnLsh.hyperplanes(nPlanes = 4, dim = 64, seed = 42L))
 
   private val sqlSimhashExpr: String = (0 until 8).map { j =>
     s"(CASE WHEN list_aggregate(list_transform(words, t -> ((${sqlHash("t")} >> $j) & 1) * 2 - 1), 'sum') >= 0 THEN ${1L << j} ELSE 0 END)"
@@ -1392,6 +1438,46 @@ object GraftQueries {
          |  (CASE WHEN lang='en' THEN 50 WHEN lang='fr' THEN 80 ELSE 100 END)
          |ORDER BY doc_id""".stripMargin,
     "knn_bruteforce" ->
+      """SELECT b.vec_id, round(list_cosine_similarity(b.embedding, q.embedding), 4) AS score
+        |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE b.vec_id <> 0
+        |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin,
+    // bucket recomputed in SQL from the inlined plane literals
+    "knn_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $sqlLshBucket AS bucket FROM embeddings),
+         |q AS (SELECT bucket AS q_bucket, embedding AS q_emb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, round(${sqlCos("b.embedding", "q.q_emb")}, 4) AS score
+         |FROM b, q WHERE b.vec_id <> 0 AND b.bucket = q.q_bucket
+         |ORDER BY score DESC, b.vec_id LIMIT 3""".stripMargin,
+    "knn_lsh_multiprobe" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $sqlLshBucket AS bucket FROM embeddings),
+         |q AS (SELECT bucket AS q_bucket, embedding AS q_emb FROM b WHERE vec_id = 0)
+         |SELECT b.vec_id, round(${sqlCos("b.embedding", "q.q_emb")}, 4) AS score
+         |FROM b, q WHERE b.vec_id <> 0
+         |  AND bit_count(xor(CAST(b.bucket AS BIGINT), CAST(q.q_bucket AS BIGINT))) <= 1
+         |ORDER BY score DESC, b.vec_id LIMIT 3""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $sqlLshBucket AS bucket FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+         |    round(${sqlCos("a.embedding", "b2.embedding")}, 4) AS cos
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin,
+    // 1-row bands over the mirrorable minhash family: the band key IS the
+    // signature value, so candidate generation is an OR of per-band
+    // equalities — the whole LSH pipeline under the oracle
+    "dedup_minhash_pairs" ->
+      s"""$sqlShinglesCte,
+         |sd AS (SELECT doc_id, list_distinct(sh) AS shd, $sqlMinhashCols FROM s)
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    round(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+         |          CAST(len(list_distinct(a.shd || b.shd)) AS DOUBLE), 4) AS j
+         |  FROM sd a, sd b WHERE a.doc_id < b.doc_id
+         |    AND (${MinhashFns.indices.map(j => s"a.mh$j = b.mh$j").mkString(" OR ")}))
+         |WHERE j >= 0.2 ORDER BY a_id, b_id""".stripMargin,
+    // probe-all IVF ≡ brute force: same oracle
+    "knn_ivf_all" ->
       """SELECT b.vec_id, round(list_cosine_similarity(b.embedding, q.embedding), 4) AS score
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0

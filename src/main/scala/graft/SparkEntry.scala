@@ -14,12 +14,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = GraftQueries.queries
 
-  /** DuckDB-runnable oracle per query (omitted ⇒ rows-only check:
-    * dedup_minhash_pairs [LSH banding], knn_lsh [ANN bucket probe],
-    * knn_lsh_multiprobe [Hamming-1 probe], knn_ivf [k-means cells],
-    * dedup_embedding_lsh [LSH-bucketed cosine] — their exact kernels ARE
-    * oracle-checked via dedup_ngram_jaccard / knn_bruteforce /
-    * dedup_embedding, and the sbt suite asserts recall / probe-all
-    * equivalence vs those baselines). */
+  /** DuckDB-runnable oracle per query. The LSH/banding queries recompute
+    * their deterministic plane/signature sets inside the SQL (inlined
+    * DOUBLE[] literals / per-band equality joins), so the only rows-only
+    * query left is knn_ivf at nProbe=2 (k-means isn't SQL-expressible);
+    * its probe-all twin knn_ivf_all IS oracle-checked against brute force,
+    * and KnnIvfSpec asserts recall at nProbe. */
   def oracleSql: Map[String, String] = GraftQueries.oracleSql
 }
