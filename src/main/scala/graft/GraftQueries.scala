@@ -690,6 +690,45 @@ object GraftQueries {
         .orderBy("doc_id")
     }),
 
+    "text_redact_pii" -> ((s, d) => {
+      // PII scrubbing (the pre-training pass every public corpus gets):
+      // the synthetic corpus has no PII, so deterministic PII-shaped spans
+      // are spliced in from doc_id first, then the redaction expressions
+      // strip emails / IPv4s / phone numbers. Patterns stay in the regex
+      // subset Java (Spark) and RE2 (DuckDB) interpret identically — no
+      // lookaround, no unicode classes. Pure per-row codegen'd exprs.
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com via 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" tel +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val redacted =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(pii,
+              """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+            """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+          """\+1-555-\d{4}""", "<PHONE>")
+      t(s, d, "documents").select(col("doc_id"), redacted.as("clean")).orderBy("doc_id")
+    }),
+    "decontaminate" -> ((s, d) => {
+      // benchmark decontamination: flag training docs sharing any 3-gram
+      // shingle with the heldout benchmark slice (doc_id % 97 == 0).
+      // Shape: explode → broadcast join on narrow shingle keys → per-doc
+      // count — a contains-join, never an all-pairs comparison; the
+      // benchmark shingle set is the small side by construction.
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(split(col("text"), " ")))).as("g"))
+      val bench = broadcast(sh.filter(col("doc_id") % 97 === 0)
+        .select(col("g").as("bg")).distinct())
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, col("g") === col("bg"))
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic sampling / split assignment ----
     "split_train_val" -> ((s, d) => {
       // seed-stable train/val/test assignment: a salted cross-engine hash
@@ -1012,7 +1051,7 @@ object GraftQueries {
       val e = t(s, d, "embeddings")
       val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
       val qVec = e.filter(col("vec_id") === 0).select(col("embedding"))
-        .head.getSeq[Float](0).map(_.toDouble).toArray
+        .head().getSeq[Float](0).map(_.toDouble).toArray
       val cells = KnnIvf.probeCells(qVec, centroids, nProbe = 2)
       val idx = KnnIvf.index(e.filter(col("vec_id") =!= 0), "embedding", centroids)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -1035,7 +1074,7 @@ object GraftQueries {
       val e = t(s, d, "embeddings")
       val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
       val qVec = e.filter(col("vec_id") === 0).select(col("embedding"))
-        .head.getSeq[Float](0).map(_.toDouble).toArray
+        .head().getSeq[Float](0).map(_.toDouble).toArray
       val cells = KnnIvf.probeCells(qVec, centroids, nProbe = 8)
       val idx = KnnIvf.index(e.filter(col("vec_id") =!= 0), "embedding", centroids)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -1426,6 +1465,23 @@ object GraftQueries {
       """SELECT doc_id, CASE WHEN text LIKE '% the %' OR text LIKE 'the %'
         |  THEN 'en' ELSE 'other' END AS pred_lang
         |FROM documents ORDER BY 1""".stripMargin,
+    "text_redact_pii" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' tel +1-555-' || printf('%04d', doc_id % 10000),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+1-555-\d{4}', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""$sqlShinglesCte,
+         |g AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+         |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+         |FROM g JOIN bench ON g.g = bench.g WHERE g.doc_id % 97 <> 0
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "split_train_val" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${sqlHash("'split:'||CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
