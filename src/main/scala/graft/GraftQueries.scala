@@ -753,6 +753,66 @@ object GraftQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "mix_epochs" -> ((s, d) => {
+      // data-mixing upsampling (the other half of sample_stratified's
+      // downsampling): rare-language docs are repeated for extra epochs —
+      // en×1, fr×2, rest×3 — each copy tagged with a deterministic
+      // shuffle_key so writing ordered-by-key yields a seed-stable global
+      // shuffle of the mixed corpus. Per-row explode, no shuffle; the
+      // order-by at write time is a uniform range partition (hash keys
+      // have no skew by construction).
+      val epochs = when(col("lang") === "en", 1L)
+        .when(col("lang") === "fr", 2L).otherwise(3L)
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(sequence(lit(0L), epochs - 1)).as("epoch"))
+        .withColumn("shuffle_key",
+          mdHash(concat(lit("mix:"), col("doc_id").cast("string"),
+            lit(":"), col("epoch").cast("string"))) % 1000000L)
+        .orderBy("doc_id", "epoch")
+    }),
+    "pack_sequences" -> ((s, d) => {
+      // context-window packing (concat-then-chunk): docs are sharded by a
+      // salted hash, concatenated in deterministic order within each shard,
+      // and chunked into 256-token training sequences — pack_id is the
+      // sequence the doc STARTS in (docs may straddle chunk boundaries,
+      // as in standard LLM pretraining packing). Scale shape: the window
+      // runs per shard partition — one hash shuffle, parallel across
+      // shards, no global sort, no driver state.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          mdHash(concat(lit("pack:"), col("doc_id").cast("string"))) % 8L as "shard",
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"),
+          floor((col("cum") - col("n_tok")) / 256L).cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    }),
+    "dedup_paragraph" -> ((s, d) => {
+      // CCNet-style paragraph-level dedup: docs are split into 8-word
+      // chunks; each distinct chunk is kept only at its first occurrence
+      // (min doc_id, then min position) corpus-wide; docs are reassembled
+      // from their surviving chunks. Scale shape: one shuffle keyed on the
+      // chunk text (the dedup hash join) + one keyed re-aggregation per
+      // doc — both distributed, no all-pairs, no driver state.
+      val words = split(col("text"), " ")
+      val chunks = transform(
+        sequence(lit(0L), ceil(size(words) / lit(8.0)).cast("long") - 1),
+        i => concat_ws(" ", slice(words, (i * 8 + 1).cast("int"), lit(8))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk").orderBy("doc_id", "pos")
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(sort_array(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk"))).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search ----
     "knn_bruteforce" -> ((s, d) => {
       // brute-force cosine top-k for query vector 0 (exact baseline)
@@ -1493,6 +1553,31 @@ object GraftQueries {
          |WHERE ${sqlHash("'sample:'||CAST(doc_id AS VARCHAR)")} % 100 <
          |  (CASE WHEN lang='en' THEN 50 WHEN lang='fr' THEN 80 ELSE 100 END)
          |ORDER BY doc_id""".stripMargin,
+    "mix_epochs" ->
+      s"""WITH e AS (SELECT doc_id,
+         |  unnest(range(CASE WHEN lang='en' THEN 1 WHEN lang='fr' THEN 2 ELSE 3 END)) AS epoch
+         |FROM documents)
+         |SELECT doc_id, epoch,
+         |  ${sqlHash("'mix:'||CAST(doc_id AS VARCHAR)||':'||CAST(epoch AS VARCHAR)")} % 1000000 AS shuffle_key
+         |FROM e ORDER BY doc_id, epoch""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH n AS (SELECT doc_id,
+         |    ${sqlHash("'pack:'||CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |    len(string_split(text, ' ')) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM n)
+         |SELECT doc_id, shard, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, unnest(range(CAST(ceil(len(words)/8.0) AS BIGINT))) AS pos, words FROM w),
+        |ch AS (SELECT doc_id, pos,
+        |    array_to_string(words[CAST(pos*8+1 AS INT):CAST(pos*8+8 AS INT)], ' ') AS chunk FROM c),
+        |k AS (SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM ch)
+        |SELECT doc_id, count(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS clean
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "knn_bruteforce" ->
       """SELECT b.vec_id, round(list_cosine_similarity(b.embedding, q.embedding), 4) AS score
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
