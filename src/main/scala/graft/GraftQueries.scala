@@ -677,6 +677,47 @@ object GraftQueries {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "text_rep_ratio" -> ((s, d) => {
+      // within-doc repetition signal (the Gopher-style repetition filter):
+      // duplicate 3-gram fraction per doc, integer-exact — flag_rep is
+      // n_dup/n_sh >= 0.3 computed as n_dup*10 >= n_sh*3 so both engines
+      // compare exact integers. Pure per-row expressions, no shuffle.
+      val sh = shingles(split(col("text"), " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), size(sh).cast("long").as("n_sh"),
+          (size(sh) - size(array_distinct(sh))).cast("long").as("n_dup"))
+        .withColumn("flag_rep",
+          (col("n_dup") * 10 >= col("n_sh") * 3).cast("long"))
+        .orderBy("doc_id")
+    }),
+    "corpus_filter_chain" -> ((s, d) => {
+      // the end-to-end curation pass a pretraining corpus actually runs:
+      // quality band → repetition filter → exact dedup (keep first) →
+      // benchmark decontamination, one declarative chain. Scale shape: the
+      // per-row filters fuse into the scan; the only shuffles are the dedup
+      // window (keyed on text — the exact-dup hash shape) and the
+      // contamination anti-join whose build side is the small heldout
+      // shingle set, broadcast.
+      val docs = t(s, d, "documents")
+      val sh = shingles(split(col("text"), " "))
+      val q = docs
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_sh", size(sh).cast("long"))
+        .withColumn("n_dup", (size(sh) - size(array_distinct(sh))).cast("long"))
+        .filter(col("n_tok") >= 30 && col("n_tok") <= 75)
+        .filter(col("n_dup") * 10 < col("n_sh") * 3)
+      val deduped = q
+        .withColumn("rn", row_number().over(Window.partitionBy("text").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      val g = docs.select(col("doc_id"), explode(array_distinct(sh)).as("g"))
+      val bench = broadcast(g.filter(col("doc_id") % 97 === 0)
+        .select(col("g").as("bg")).distinct())
+      val contaminated = g.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, col("g") === col("bg")).select("doc_id").distinct()
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "n_tok").orderBy("doc_id")
+    }),
     "text_fingerprint" -> ((s, d) => {
       // document fingerprinting (content hash)
       t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("fp")).orderBy("doc_id")
@@ -1553,6 +1594,27 @@ object GraftQueries {
          |WHERE ${sqlHash("'sample:'||CAST(doc_id AS VARCHAR)")} % 100 <
          |  (CASE WHEN lang='en' THEN 50 WHEN lang='fr' THEN 80 ELSE 100 END)
          |ORDER BY doc_id""".stripMargin,
+    "text_rep_ratio" ->
+      s"""$sqlShinglesCte
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+         |  CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS n_dup,
+         |  CAST(CASE WHEN (len(sh) - len(list_distinct(sh))) * 10 >= len(sh) * 3
+         |       THEN 1 ELSE 0 END AS BIGINT) AS flag_rep
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "corpus_filter_chain" ->
+      s"""$sqlShinglesCte,
+         |q AS (SELECT d.doc_id, d.text, len(string_split(d.text, ' ')) AS n_tok,
+         |        len(s.sh) AS n_sh, len(s.sh) - len(list_distinct(s.sh)) AS n_dup
+         |      FROM documents d JOIN s ON d.doc_id = s.doc_id),
+         |f AS (SELECT * FROM q WHERE n_tok BETWEEN 30 AND 75 AND n_dup * 10 < n_sh * 3),
+         |dd AS (SELECT doc_id, n_tok, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f),
+         |g AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+         |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench ON g.g = bench.g WHERE g.doc_id % 97 <> 0)
+         |SELECT dd.doc_id, CAST(dd.n_tok AS BIGINT) AS n_tok FROM dd
+         |WHERE dd.rn = 1 AND dd.doc_id % 97 <> 0
+         |  AND dd.doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY dd.doc_id""".stripMargin,
     "mix_epochs" ->
       s"""WITH e AS (SELECT doc_id,
          |  unnest(range(CASE WHEN lang='en' THEN 1 WHEN lang='fr' THEN 2 ELSE 3 END)) AS epoch
