@@ -27,7 +27,8 @@ object Bench {
     "clp_wildcard_search", "dedup_exact", "dedup_embedding",
     "dedup_embedding_lsh", "text_tokens", "text_fingerprint",
     "knn_bruteforce", "regex_search", "ir_roundtrip", "kvir_roundtrip",
-    "multimodal_frames")
+    "multimodal_frames", "dedup_paragraph", "pack_sequences",
+    "corpus_filter_chain")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

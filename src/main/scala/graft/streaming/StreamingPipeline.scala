@@ -207,6 +207,23 @@ final class StreamingPipeline(spark: SparkSession, outDir: String,
 
 object StreamingPipeline {
 
+  /** W1+W4: streaming count-by-time with BOUNDED state. The watermark evicts
+    * window state once event time passes `delay`, so aggregation state is
+    * O(active windows), never O(stream length) — the property that keeps a
+    * 10^12-turn continuous ingest from accumulating unbounded executor
+    * state. Rows arriving later than the watermark (window already
+    * finalized) are dropped, and append mode emits each window exactly once
+    * when it finalizes. */
+  def countsByWindow(turnsStream: org.apache.spark.sql.DataFrame,
+      windowDur: String, delay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    turnsStream
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("role"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("role"), col("n"))
+  }
+
   /** The reference's real-time ingestion source: logging libraries emit CLP
     * IR streams as files/objects; this reads them with the binary-file
     * streaming source and deserializes each stream back into turn rows

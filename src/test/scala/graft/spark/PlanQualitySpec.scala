@@ -106,6 +106,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(df.count() == 2)
   }
 
+  test("pack_sequences: the packing window shuffles once, keyed on shard") {
+    val p = executedPlan(graft.GraftQueries.queries("pack_sequences")(spark, sf))
+    // the cumulative-sum window must partition on the shard key (parallel
+    // across shards — no global sort of the corpus)
+    assert(p.contains("Window") && p.contains("hashpartitioning(shard"))
+  }
+
+  test("dedup_paragraph: chunk dedup is a keyed shuffle, never all-pairs") {
+    val p = executedPlan(graft.GraftQueries.queries("dedup_paragraph")(spark, sf))
+    assert(p.contains("hashpartitioning(chunk"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("corpus_filter_chain: contamination anti-join broadcasts the heldout side") {
+    val p = executedPlan(graft.GraftQueries.queries("corpus_filter_chain")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("search candidates prune with partition filter on sink_id") {
     val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val turns = graft.pipeline.TranscriptGen.turns(spark, 1500, seed = 5L).toDF

@@ -182,4 +182,28 @@ class StreamingPipelineSpec extends SparkSpecBase {
       assert(convs(conv)(r.getInt(1)).text == r.getString(2))
     }
   }
+
+  test("watermarked count-by-time: bounded state, late rows dropped, windows emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    def turn(conv: String, tsMs: Long): Turn =
+      Turn(conv, 0, "user", "m", "t", new java.sql.Timestamp(tsMs))
+    val h = 3600L * 1000 // window A = [0h, 1h)
+    val source = MemoryStream[Turn]
+    val q = StreamingPipeline.countsByWindow(source.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wm_counts").outputMode("append").start()
+
+    source.addData(Seq(turn("a", 10 * 60000L), turn("b", 20 * 60000L), turn("c", 30 * 60000L)))
+    q.processAllAvailable() // window A open: 3 rows, watermark = 0:30 - 0:30
+    source.addData(Seq(turn("d", 3 * h))) // advances watermark past window A's end
+    q.processAllAvailable()
+    // late row INTO window A after its end passed the watermark — dropped
+    source.addData(Seq(turn("late", 15 * 60000L), turn("e", 4 * h)))
+    q.processAllAvailable()
+    q.stop()
+
+    val a = spark.table("wm_counts")
+      .filter(col("w_start") === new java.sql.Timestamp(0L)).collect()
+    assert(a.length == 1, s"window A must emit exactly once, got ${a.toSeq}")
+    assert(a.head.getAs[Long]("n") == 3, "late row must not be counted")
+  }
 }
