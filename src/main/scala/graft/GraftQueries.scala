@@ -107,6 +107,22 @@ object GraftQueries {
     })
   }
 
+  /** One 4-archive catalog per input dir per JVM — the fleet-metadata layer
+    * ([[graft.pipeline.ClpCatalog]]): archives sliced on ts quartiles
+    * (doc_id ≡ seconds since the base epoch), so each archive owns a
+    * contiguous 125 s span and the catalog can prune by time. */
+  private val catalogCache = scala.collection.mutable.Map.empty[String, String]
+  private def searchCatalog(s: SparkSession, d: String): String = catalogCache.synchronized {
+    catalogCache.getOrElseUpdate(d, {
+      withClp(s)
+      val out = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+      val slice = least(
+        floor((unix_millis(col("ts")) - 1704067200000L) / 125000L), lit(3L))
+      graft.pipeline.ClpCatalog.ingest(s, searchTurns(s, d), slice, out)
+      out
+    })
+  }
+
   /** Full lifecycle: compile → dict probe → sink/ts prune → encoded-domain
     * match (subseq/isin) → decode → verify-iff-imprecise → stable order. */
   private def searchGate(s: SparkSession, d: String, query: String,
@@ -341,6 +357,16 @@ object GraftQueries {
       searchGate(s, d, "* code=es *",
         tsLo = Some(new java.sql.Timestamp(1704067200000L + 5000L)),
         tsHi = Some(new java.sql.Timestamp(1704067200000L + 250000L)))),
+    "clp_catalog_search" -> ((s, d) =>
+      // fleet-level search (the reference's archive metadata DB): the
+      // catalog prunes archives by ts BEFORE any archive dir is opened —
+      // [130 s, 260 s] admits archives 1 and 2 of 4 — then each admissible
+      // archive runs the full encoded-domain lifecycle; one union
+      graft.pipeline.ClpCatalog.search(s, searchCatalog(s, d), "* code=es *",
+          tsLo = Some(new java.sql.Timestamp(1704067200000L + 130000L)),
+          tsHi = Some(new java.sql.Timestamp(1704067200000L + 260000L)))
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")),
     "clp_search_limit" -> ((s, d) =>
       // O1 limit under the gate: LIMIT pushed into the search plan
       // (CollectLimit, no full materialization); the truncated cardinality
@@ -854,7 +880,97 @@ object GraftQueries {
         .orderBy("doc_id")
     }),
 
+    "text_c4_filters" -> ((s, d) => {
+      // C4/Gopher-style rule filters (the heuristic pass that runs BEFORE
+      // the model-based quality filters): terminal punctuation at the end,
+      // a minimum sentence count, a mean-word-length band, and boilerplate
+      // markers. The synthetic corpus has none of these defects, so
+      // deterministic ones are spliced in from doc_id first (the
+      // text_redact_pii pattern); all rules are integer-exact so both
+      // engines agree without FP noise. Pure per-row expressions — they
+      // fuse into the scan; at 100 TB this is a zero-shuffle pass.
+      val raw = concat(col("text"),
+        when(col("doc_id") % 13 === 0, lit(" lorem ipsum {boilerplate;}"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("."))
+          .when(col("doc_id") % 4 === 1, lit("!"))
+          .when(col("doc_id") % 4 === 2, lit(" and so on")).otherwise(lit("?")))
+      val nTok = size(split(raw, " ")).cast("long")
+      val alpha = (octet_length(raw) - (size(split(raw, " ")) - 1)).cast("long")
+      val nTerm = (octet_length(raw) - octet_length(translate(raw, ".!?", ""))).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          substring(raw, -1, 1).isin(".", "!", "?").cast("long").as("f_endpunct"),
+          (nTerm >= 3L).cast("long").as("f_sentences"),
+          (alpha >= nTok * 3L && alpha <= nTok * 10L).cast("long").as("f_wordlen"),
+          (!raw.contains("lorem ipsum") && !raw.contains("{")).cast("long").as("f_clean"))
+        .withColumn("keep",
+          (col("f_endpunct") * col("f_sentences") * col("f_wordlen") * col("f_clean")).cast("long"))
+        .orderBy("doc_id")
+    }),
+    "dedup_normalized" -> ((s, d) => {
+      // near-exact dedup after canonicalization (the RefinedWeb recipe:
+      // lowercase, strip punctuation, collapse whitespace — THEN the exact
+      // hash groupBy), catching case/punctuation/whitespace variants plain
+      // exact dedup misses. The corpus has no such variants, so each odd
+      // doc_id is derived as a mangled copy of its even neighbor (upper +
+      // pad + bang suffix) — normalized dedup must collapse every pair.
+      // Same scale shape as dedup_exact: one shuffle keyed on the hash of
+      // the canonical form, never on the raw text.
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text").as("body"))
+      val variants = docs.select((col("doc_id") + 1).as("doc_id"),
+        concat(lit("  "), upper(col("body")), lit("  !!")).as("body"))
+      val norm = trim(regexp_replace(lower(col("body")), "[^a-z0-9]+", " "))
+      docs.unionAll(variants)
+        .withColumn("h", md5(norm))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+        .select("keep_id", "n_variants").orderBy("keep_id")
+    }),
+    "text_length_stats" -> ((s, d) => {
+      // corpus length distribution — the sizing read a curator does before
+      // choosing filter thresholds: doc count, mean, and exact interpolated
+      // p50/p90/p99 over token counts in ONE partial-aggregating pass.
+      // Exact percentile is the oracle-parity choice at gate scale; at
+      // 100 TB swap percentile → approx_percentile (t-digest sketch, same
+      // plan shape, no per-group value buffering).
+      val nTok = size(split(col("text"), " ")).cast("long")
+      t(s, d, "documents")
+        .select(nTok.as("n_tok"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tok")), 4).as("mean_tok"),
+          round(expr("percentile(n_tok, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(n_tok, 0.9D)"), 4).as("p90"),
+          round(expr("percentile(n_tok, 0.99D)"), 4).as("p99"))
+    }),
+
     // ---- similarity search ----
+    "knn_sq8" -> ((s, d) => {
+      // scalar-quantized ANN (the FAISS SQ8 shape, the third index family
+      // next to LSH and IVF): embeddings quantize ONCE to int8 — 4x
+      // smaller than float32, the memory lever that keeps a 100 TB vector
+      // store scannable — the coarse pass ranks candidates by an integer
+      // dot (codegen'd vec_qdot: small-integer math, exact in any engine,
+      // so candidate selection is bit-stable with no FP rounding in play),
+      // and only the top-15 survivors pay the exact float cosine re-rank.
+      // q[i] = floor(x*127 + 0.5) clamped — floor(x+0.5), not round(), so
+      // the DuckDB oracle reproduces it exactly.
+      withClp(s)
+      val e = t(s, d, "embeddings")
+        .withColumn("q8", vec_sq8(col("embedding"), lit(127.0)))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("q8").as("qq8"), col("embedding").as("q_emb"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("qdot", vec_qdot(col("q8"), col("qq8")))
+        .orderBy(desc("qdot"), asc("vec_id")).limit(15)
+        .withColumn("score", round(
+          vec_dot(col("embedding"), col("q_emb")) /
+            (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+             sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
+        .select("vec_id", "score")
+        .orderBy(desc("score"), asc("vec_id")).limit(5)
+    }),
     "knn_bruteforce" -> ((s, d) => {
       // brute-force cosine top-k for query vector 0 (exact baseline)
       val e = t(s, d, "embeddings")
@@ -1357,6 +1473,9 @@ object GraftQueries {
     "clp_search_e2e_dict_ts" ->
       sqlSearchSelect(
         s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 5 AND 250"),
+    "clp_catalog_search" ->
+      sqlSearchSelect(
+        s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 130 AND 260"),
     "clp_search_limit" ->
       s"""SELECT CAST(least(40, (SELECT count(*) FROM documents
          |  WHERE ($sqlSearchText) LIKE '% code=es %')) AS BIGINT) AS n""".stripMargin,
@@ -1601,6 +1720,43 @@ object GraftQueries {
          |  CAST(CASE WHEN (len(sh) - len(list_distinct(sh))) * 10 >= len(sh) * 3
          |       THEN 1 ELSE 0 END AS BIGINT) AS flag_rep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "text_c4_filters" ->
+      """WITH r AS (SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum {boilerplate;}' ELSE '' END)
+        |    || (CASE doc_id % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+        |        WHEN 2 THEN ' and so on' ELSE '?' END) AS raw
+        |  FROM documents),
+        |m AS (SELECT doc_id, raw,
+        |    len(string_split(raw, ' ')) AS n_tok,
+        |    strlen(raw) - (len(string_split(raw, ' ')) - 1) AS alpha,
+        |    strlen(raw) - strlen(replace(replace(replace(raw,'.',''),'!',''),'?','')) AS n_term
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN substr(raw, -1, 1) IN ('.','!','?') THEN 1 ELSE 0 END AS BIGINT) AS f_endpunct,
+        |  CAST(CASE WHEN n_term >= 3 THEN 1 ELSE 0 END AS BIGINT) AS f_sentences,
+        |  CAST(CASE WHEN alpha >= n_tok * 3 AND alpha <= n_tok * 10 THEN 1 ELSE 0 END AS BIGINT) AS f_wordlen,
+        |  CAST(CASE WHEN raw NOT LIKE '%lorem ipsum%' AND raw NOT LIKE '%{%' THEN 1 ELSE 0 END AS BIGINT) AS f_clean,
+        |  CAST(CASE WHEN substr(raw, -1, 1) IN ('.','!','?') THEN 1 ELSE 0 END
+        |    * CASE WHEN n_term >= 3 THEN 1 ELSE 0 END
+        |    * CASE WHEN alpha >= n_tok * 3 AND alpha <= n_tok * 10 THEN 1 ELSE 0 END
+        |    * CASE WHEN raw NOT LIKE '%lorem ipsum%' AND raw NOT LIKE '%{%' THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "dedup_normalized" ->
+      """WITH c AS (
+        |  SELECT doc_id, text AS body FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1 AS doc_id, '  ' || upper(text) || '  !!' AS body
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_variants
+        |FROM c GROUP BY md5(trim(regexp_replace(lower(body), '[^a-z0-9]+', ' ', 'g')))
+        |ORDER BY keep_id""".stripMargin,
+    "text_length_stats" ->
+      """WITH n AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+        |SELECT count(*) AS n_docs, round(avg(n_tok), 4) AS mean_tok,
+        |  round(quantile_cont(n_tok, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_tok, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_tok, 0.99), 4) AS p99
+        |FROM n""".stripMargin,
     "corpus_filter_chain" ->
       s"""$sqlShinglesCte,
          |q AS (SELECT d.doc_id, d.text, len(string_split(d.text, ' ')) AS n_tok,
@@ -1645,6 +1801,21 @@ object GraftQueries {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |WHERE b.vec_id <> 0
         |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin,
+    // int8 quantization recomputed in SQL: floor(x*127 + 0.5) clamped, the
+    // coarse rank by integer dot is exact in double arithmetic (all values
+    // small integers), so the candidate set matches Spark's bit-for-bit
+    "knn_sq8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> greatest(-127, least(127, floor(x * 127 + 0.5)))) AS q8
+        |  FROM embeddings),
+        |q AS (SELECT q8 AS qq8, embedding AS q_emb FROM e WHERE vec_id = 0),
+        |coarse AS (SELECT e.vec_id, e.embedding, q.q_emb,
+        |    list_inner_product(e.q8, q.qq8) AS qdot
+        |  FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY qdot DESC, e.vec_id ASC LIMIT 15)
+        |SELECT vec_id, round(list_cosine_similarity(embedding, q_emb), 4) AS score
+        |FROM coarse ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
     // bucket recomputed in SQL from the inlined plane literals
     "knn_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, $sqlLshBucket AS bucket FROM embeddings),

@@ -167,6 +167,36 @@ object ClpRuntime {
     }
     acc
   }
+
+  /** Symmetric int8 scalar quantization (the FAISS SQ8 idea): q[i] =
+    * floor(x*mult + 0.5) clamped to [-127,127]. floor(x+0.5) rather than
+    * round() and a MULTIPLIER rather than a divisor so a SQL oracle
+    * (`floor(x * 127 + 0.5)`) reproduces the exact same IEEE operations. */
+  def vecSq8(a: ArrayData, aFloat: Boolean, mult: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val q = math.floor(x * mult + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Integer dot of two int8-quantized vectors — the coarse ANN scorer.
+    * Pure small-integer math: bit-identical ordering on every engine. */
+  def vecQDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
 }
 
 /** `clp_encode(text)` → struct<logtype, dict_vars, encoded_vars>: one-pass
@@ -396,6 +426,40 @@ case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "vec_dot"
 }
 
+/** `vec_sq8(vec, mult)` → array<tinyint>: symmetric int8 scalar
+  * quantization, q[i] = floor(x*mult + 0.5) clamped to ±127. Index-time
+  * cost; the hot search path is [[VecQDotExpr]]. */
+case class VecSq8Expr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  private lazy val leftFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(a: Any, m: Any): Any =
+    ClpRuntime.vecSq8(a.asInstanceOf[ArrayData], leftFloat, m.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, m) =>
+      s"graft.functions.ClpRuntime.vecSq8($a, $leftFloat, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSq8Expr =
+    copy(l, r)
+  override def prettyName: String = "vec_sq8"
+}
+
+/** `vec_qdot(q8a, q8b)` → bigint: integer dot of two int8-quantized
+  * vectors — the coarse ANN scorer; no FP, so candidate ranking is
+  * bit-stable across engines and cluster sizes. */
+case class VecQDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ClpRuntime.vecQDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ClpRuntime.vecQDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecQDotExpr =
+    copy(l, r)
+  override def prettyName: String = "vec_qdot"
+}
+
 /** Registration + Column-API façade for the CLP expressions. */
 object ClpFunctions {
   def register(spark: SparkSession): Unit = {
@@ -411,6 +475,8 @@ object ClpFunctions {
     r.createOrReplaceTempFunction("ts_pattern_parse", es => TsPatternParseExpr(es.head), "built-in")
     r.createOrReplaceTempFunction("ts_pattern_format", es => TsPatternFormatExpr(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("vec_dot", es => VecDotExpr(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_sq8", es => VecSq8Expr(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_qdot", es => VecQDotExpr(es(0), es(1)), "built-in")
   }
 
   def clp_encode(text: Column): Column = call_function("clp_encode", text)
@@ -455,6 +521,8 @@ object ClpFunctions {
   def ts_pattern_format(patternId: Column, epochMs: Column): Column =
     call_function("ts_pattern_format", patternId, epochMs)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vec_sq8(vec: Column, mult: Column): Column = call_function("vec_sq8", vec, mult)
+  def vec_qdot(a: Column, b: Column): Column = call_function("vec_qdot", a, b)
 
   /** Grok/schema-mode encode; the schema is plan-time configuration, so this
     * builds the Expression directly rather than via the registry. */

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-archive catalog — the reference's archive metadata database
+  * (`components/clp-py-utils/clp_py_utils/clp_metadata_db_utils.py:34-52`:
+  * `archives(begin_timestamp, end_timestamp, uncompressed_size, …)`, and the
+  * compression scheduler that opens one archive per job) re-expressed as a
+  * tiny parquet table next to the archive directories it indexes.
+  *
+  * Ingest writes one CLP archive per slice value plus one catalog row with
+  * that archive's timestamp bounds and message count (rolled up from its
+  * `sink_stats`, the same index [[graft.search.ClpSearch]] consults
+  * per-sink). Search reads the catalog FIRST — O(#archives) metadata, never
+  * data — and compiles per-archive plans only for archives whose
+  * [begin, end] intersects the query range, exactly the reference's
+  * "evaluate the timestamp index before decompressing anything" rule
+  * (`clp_s/search/EvaluateTimestampIndex.cpp`) lifted one level, from sinks
+  * within an archive to archives within a fleet. At fleet scale (10^4-10^5
+  * archives on object storage) a time-bounded query opens a handful of
+  * archive directories; the catalog itself stays kilobytes.
+  */
+object ClpCatalog {
+
+  /** Routes `turns` into one archive per distinct `sliceCol` value under
+    * `outDir/archives/arch_<slice>`, then writes `outDir/catalog`.
+    *
+    * The per-slice loop is the TEST harness shape: the distinct slice list
+    * is archive-count-sized (catalog-tiny, never row-sized). In production
+    * each archive is written by its own ingest job as data arrives (the
+    * reference's scheduler dispatches one compression job per archive) and
+    * `appendEntry` registers it — there is no fleet-wide loop anywhere.
+    */
+  def ingest(spark: SparkSession, turns: DataFrame, sliceCol: Column,
+             outDir: String, maxSinks: Int = 8, saltParts: Int = 8): Unit = {
+    val sliced = turns.withColumn("_slice", sliceCol.cast("string"))
+    val slices = sliced.select("_slice").distinct()
+      .collect().map(_.getString(0)).sorted
+    slices.foreach { sl =>
+      ClpPipeline.run(spark, sliced.filter(col("_slice") === sl).drop("_slice"),
+        ClpPipeline.Config(s"$outDir/archives/arch_$sl",
+          maxSinks = maxSinks, saltParts = saltParts))
+    }
+    // one catalog row per archive: ts bounds + row count rolled up from the
+    // archive's own sink_stats (metadata-only, no data scan)
+    val entries = slices.map { sl =>
+      spark.read.parquet(s"$outDir/archives/arch_$sl/sink_stats")
+        .agg(min(col("min_ts")).as("begin_ts"), max(col("max_ts")).as("end_ts"),
+          sum(col("n_rows")).cast("long").as("n_messages"))
+        .withColumn("archive_id", lit(s"arch_$sl"))
+    }.reduce(_ unionAll _)
+    entries.select("archive_id", "begin_ts", "end_ts", "n_messages")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/catalog")
+  }
+
+  /** Catalog rows as (archive_id, begin, end) — the fleet timestamp index. */
+  def entries(spark: SparkSession, outDir: String)
+      : Array[(String, java.sql.Timestamp, java.sql.Timestamp)] =
+    spark.read.parquet(s"$outDir/catalog")
+      .select("archive_id", "begin_ts", "end_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+
+  /** Archive ids whose [begin, end] intersects [tsLo, tsHi] — decided from
+    * the catalog alone, before any archive directory is opened. */
+  def admissibleArchives(spark: SparkSession, outDir: String,
+                         tsLo: Option[java.sql.Timestamp],
+                         tsHi: Option[java.sql.Timestamp]): Seq[String] =
+    entries(spark, outDir).collect {
+      case (id, b, e)
+          if tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi)) => id
+    }.toSeq
+
+  /** Cross-archive search: catalog-pruned per-archive plans, one union —
+    * each branch runs the full encoded-domain lifecycle (dict probe → sink
+    * prune → encoded match → decode → verify) inside its own archive. */
+  def search(spark: SparkSession, outDir: String, query: String,
+             caseSensitive: Boolean = true,
+             tsLo: Option[java.sql.Timestamp] = None,
+             tsHi: Option[java.sql.Timestamp] = None): DataFrame = {
+    val admissible = admissibleArchives(spark, outDir, tsLo, tsHi)
+    val empty = spark.emptyDataFrame
+      .withColumn("conv_id", lit("")).withColumn("turn_idx", lit(0))
+      .withColumn("ts", lit(null).cast("timestamp")).withColumn("text", lit(""))
+      .limit(0).select("conv_id", "turn_idx", "ts", "text")
+    if (admissible.isEmpty) empty
+    else admissible.map { id =>
+      new graft.search.ClpSearch(spark, s"$outDir/archives/$id")
+        .search(query, caseSensitive, tsLo, tsHi)
+    }.reduce(_ unionAll _)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ClpCatalog
+import graft.search.ClpSearch
+
+/** Fleet catalog ([[graft.pipeline.ClpCatalog]]): one archive per time
+  * slice plus a metadata row, plan-time archive pruning from the catalog
+  * alone, and cross-archive union search equal to a single-archive run over
+  * the same corpus. */
+class ClpCatalogSpec extends SparkSpecBase {
+
+  private val base = 1704067200000L
+  private def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+
+  // 400 synthetic turns across 4 contiguous 100 s slices
+  private lazy val turns = {
+    graft.functions.ClpFunctions.register(spark)
+    spark.range(400).select(
+      concat(lit("conv-"), (col("id") % 20).cast("string")).as("conv_id"),
+      (col("id") / 20).cast("int").as("turn_idx"),
+      lit("user").as("role"),
+      concat(lit("event num "), col("id").cast("string"),
+        lit(" code=c"), (col("id") % 3).cast("string")).as("text"),
+      lit("tool").as("tool"),
+      timestamp_millis(lit(base) + col("id") * 1000L).as("ts"))
+  }
+
+  private lazy val catalogDir = {
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-spec").toString
+    ClpCatalog.ingest(spark, turns, floor(col("turn_idx") / 5), out)
+    out
+  }
+
+  test("ingest writes one archive per slice and an exact catalog") {
+    val cat = spark.read.parquet(s"$catalogDir/catalog").collect()
+    assert(cat.length == 4)
+    assert(cat.map(_.getAs[Long]("n_messages")).sum == 400)
+    // archive 1 owns exactly [100 s, 200 s)
+    val a1 = cat.find(_.getAs[String]("archive_id") == "arch_1").get
+    assert(a1.getAs[java.sql.Timestamp]("begin_ts") == ts(100))
+    assert(a1.getAs[java.sql.Timestamp]("end_ts") == ts(199))
+  }
+
+  test("the catalog prunes archives before any archive dir is opened") {
+    assert(ClpCatalog.admissibleArchives(spark, catalogDir,
+      Some(ts(110)), Some(ts(250))) == Seq("arch_1", "arch_2"))
+    assert(ClpCatalog.admissibleArchives(spark, catalogDir,
+      Some(ts(1000)), None).isEmpty)
+    assert(ClpCatalog.search(spark, catalogDir, "* code=c1*",
+      tsLo = Some(ts(1000))).count() == 0)
+  }
+
+  test("cross-archive union search equals one archive over the whole corpus") {
+    val single = java.nio.file.Files.createTempDirectory("graft-cat-one").toString
+    graft.pipeline.ClpPipeline.run(spark, turns,
+      graft.pipeline.ClpPipeline.Config(single, maxSinks = 8, saltParts = 8))
+    val expect = new ClpSearch(spark, single)
+      .search("* code=c1*", tsLo = Some(ts(50)), tsHi = Some(ts(350)))
+      .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    val got = ClpCatalog.search(spark, catalogDir, "* code=c1*",
+        tsLo = Some(ts(50)), tsHi = Some(ts(350)))
+      .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(got.nonEmpty && got.sameElements(expect))
+  }
+}
