@@ -1198,6 +1198,27 @@ object GraftQueries {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    "stream_search" -> ((s, d) => {
+      // streaming search (the reference's real-time query path): the same
+      // codegen'd wildcard predicate the batch engine compiles, applied to
+      // a live file stream. A stateless filter — zero aggregation state at
+      // any stream length, each match emitted exactly once in append mode.
+      withClp(s)
+      val schema = t(s, d, "documents").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-search")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      val sdf = s.readStream.schema(schema).parquet(streamDir.toString)
+      val hits = sdf
+        .filter(wildcard_match(col("text"), lit("*spark*window*"), lit(true)))
+        .select("doc_id", "lang")
+      val qname = "stream_search_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = hits.writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(qname).orderBy("doc_id")
+    }),
+
     // ---- the full CLP pipeline as one driver-checkable identity ----
     "clp_pipeline_route" -> ((s, d) => {
       // parse→dict→enrich→route→aggregate over transcript-shaped documents;
@@ -1573,6 +1594,9 @@ object GraftQueries {
       """SELECT CAST(floor(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS bucket_ms,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text LIKE '%spark%window%' ORDER BY doc_id""".stripMargin,
     "clp_pipeline_route" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q1_agg" ->

@@ -38,6 +38,10 @@ object ClpPipeline {
       saltParts: Int = 64,
       filesPerSink: Int = 8,
       resume: Boolean = false,
+      /** Keep the `parsed` stage checkpoint after a fully-successful run.
+        * Default false: it is a second full copy of the corpus, needed only
+        * while downstream stages may still resume from it. */
+      keepParsed: Boolean = false,
       /** grok/regex schema mode (P6); None = CLP heuristic tokenizer. */
       tokenizerSchema: Option[graft.core.TokenizerSchema] = None,
       /** Dictionaries at or below this cardinality resolve through a
@@ -411,10 +415,17 @@ object ClpPipeline {
       val t0 = System.nanoTime()
       parse(turns, cfg.tokenizerSchema).write.mode("overwrite").parquet(s"${cfg.outDir}/parsed")
       lineage.complete("parse",
-        Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
+        Map("duration_ms" -> (System.nanoTime() - t0) / 1000000,
+          // recorded so a finished archive can drop the parsed checkpoint
+          // (it is a full second copy of the corpus) and still answer
+          // turnsIn on resume without any data read
+          "input_rows" -> spark.read.parquet(s"${cfg.outDir}/parsed").count()))
     }
-    val parsed = spark.read.parquet(s"${cfg.outDir}/parsed")
-    val turnsIn = parsed.count() // metadata-only count on parquet
+    // lazy: a fully-complete resumed run never touches the parsed checkpoint
+    // (which run() deletes at success unless cfg.keepParsed)
+    lazy val parsed = spark.read.parquet(s"${cfg.outDir}/parsed")
+    val turnsIn = lineage.metric("parse", "input_rows")
+      .getOrElse(parsed.count()) // metadata-only count on parquet
 
     // fused driver-path dict build keeps the collected arrays for this run:
     // sink assignment, both dict writes, AND the resolution broadcast maps
@@ -499,6 +510,17 @@ object ClpPipeline {
         .write.mode("overwrite").parquet(s"${cfg.outDir}/lineage_partitions")
       rolled.unpersist()
       lineage.complete("stats", Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
+    }
+
+    // every stage is durably complete past this point: drop the parsed
+    // checkpoint (a full second copy of the corpus — at the 10^12-turn
+    // target it would double archive storage). A failed run never reaches
+    // here, so mid-run resume always still finds it; a resumed complete run
+    // answers turnsIn from the parse manifest instead.
+    if (!cfg.keepParsed) {
+      val p = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/parsed")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
     }
 
     Result(

@@ -29,4 +29,14 @@ final class Lineage(outDir: String) {
     Files.exists(path(stage)) &&
       new String(Files.readAllBytes(path(stage)), StandardCharsets.UTF_8)
         .contains("\"COMPLETE\"")
+
+  /** A recorded metric from a stage manifest — lets later runs answer
+    * questions like "how many input rows?" without re-reading (or even
+    * keeping) the stage's data output. */
+  def metric(stage: String, key: String): Option[Long] =
+    if (!Files.exists(path(stage))) None
+    else {
+      val json = new String(Files.readAllBytes(path(stage)), StandardCharsets.UTF_8)
+      s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    }
 }

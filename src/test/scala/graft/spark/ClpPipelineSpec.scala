@@ -65,6 +65,17 @@ class ClpPipelineSpec extends SparkSpecBase {
     assert(statsBefore == statsAfter)
   }
 
+  test("a finished archive drops the parsed checkpoint; resume still answers from lineage") {
+    result // force the first full run
+    // the parsed stage output is a second full copy of the corpus — a
+    // COMPLETE archive must not keep it (keepParsed=false default)...
+    assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/parsed")))
+    // ...and a resumed run on the trimmed archive still reports exact
+    // turnsIn (from the parse manifest), touching no stage data
+    val res2 = ClpPipeline.run(spark, turns, cfg.copy(resume = true))
+    assert(res2.turnsIn == result.turnsIn && res2.rowsRouted == result.rowsRouted)
+  }
+
   test("enrichment join annotates every row that has a lookup match") {
     result // force
     val routed = spark.read.parquet(s"$outDir/routed")
