@@ -107,6 +107,25 @@ object GraftQueries {
     })
   }
 
+  /** Streaming-gate scaffold shared by every stream_* query: expose the
+    * single parquet file through a temp-dir symlink (the file-stream source
+    * needs a directory), run `transform` on the stream, drain it into a
+    * uniquely-named memory sink, and return the materialized table. */
+  private def streamGate(s: SparkSession, d: String, table: String, mode: String)
+                        (transform: DataFrame => DataFrame): DataFrame = {
+    val schema = t(s, d, table).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve(s"$table.parquet"),
+      java.nio.file.Paths.get(s"$d/$table.parquet"))
+    val sdf = s.readStream.schema(schema).parquet(streamDir.toString)
+    val qname = "stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = transform(sdf).writeStream
+      .outputMode(mode).format("memory").queryName(qname).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(qname)
+  }
+
   /** One 4-archive catalog per input dir per JVM — the fleet-metadata layer
     * ([[graft.pipeline.ClpCatalog]]): archives sliced on ts quartiles
     * (doc_id ≡ seconds since the base epoch), so each archive owns a
@@ -1178,25 +1197,13 @@ object GraftQueries {
     }),
 
     // ---- streaming (W1/W3 over Structured Streaming) ----
-    "stream_tumbling" -> ((s, d) => {
-      val schema = t(s, d, "events").schema
-      // the file-stream source needs a directory: expose the single parquet
-      // file through a temp dir symlink
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      val sdf = s.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", col("ts").cast("timestamp"))
-      val agg = sdf.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val qname = "stream_tumbling_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      s.table(qname)
+    "stream_tumbling" -> ((s, d) =>
+      streamGate(s, d, "events", "complete")(sdf =>
+        sdf.withColumn("ts", col("ts").cast("timestamp"))
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n")))
         .select(unix_millis(col("window.start")).as("bucket_ms"), col("event_type"), col("n"))
-        .orderBy("bucket_ms", "event_type")
-    }),
+        .orderBy("bucket_ms", "event_type")),
 
     "stream_search" -> ((s, d) => {
       // streaming search (the reference's real-time query path): the same
@@ -1204,19 +1211,10 @@ object GraftQueries {
       // a live file stream. A stateless filter — zero aggregation state at
       // any stream length, each match emitted exactly once in append mode.
       withClp(s)
-      val schema = t(s, d, "documents").schema
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-search")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$d/documents.parquet"))
-      val sdf = s.readStream.schema(schema).parquet(streamDir.toString)
-      val hits = sdf
-        .filter(wildcard_match(col("text"), lit("*spark*window*"), lit(true)))
-        .select("doc_id", "lang")
-      val qname = "stream_search_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = hits.writeStream.outputMode("append").format("memory").queryName(qname).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      s.table(qname).orderBy("doc_id")
+      streamGate(s, d, "documents", "append")(sdf =>
+        sdf.filter(wildcard_match(col("text"), lit("*spark*window*"), lit(true)))
+          .select("doc_id", "lang"))
+        .orderBy("doc_id")
     }),
 
     // ---- the full CLP pipeline as one driver-checkable identity ----

@@ -43,15 +43,20 @@ object ClpCatalog {
           maxSinks = maxSinks, saltParts = saltParts))
     }
     // one catalog row per archive: ts bounds + row count rolled up from the
-    // archive's own sink_stats (metadata-only, no data scan)
+    // archive's own sink_stats (metadata-only, no data scan). An empty
+    // corpus still writes an (empty) catalog, matching the batch pipeline's
+    // empty-input contract — search over it answers zero rows, not an error.
+    val emptyCatalog = spark.range(0).select(
+      lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
+      lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"))
     val entries = slices.map { sl =>
       spark.read.parquet(s"$outDir/archives/arch_$sl/sink_stats")
         .agg(min(col("min_ts")).as("begin_ts"), max(col("max_ts")).as("end_ts"),
           sum(col("n_rows")).cast("long").as("n_messages"))
         .withColumn("archive_id", lit(s"arch_$sl"))
-    }.reduce(_ unionAll _)
-    entries.select("archive_id", "begin_ts", "end_ts", "n_messages")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/catalog")
+    }.foldLeft(emptyCatalog)((acc, e) =>
+      acc.unionByName(e.select("archive_id", "begin_ts", "end_ts", "n_messages")))
+    entries.coalesce(1).write.mode("overwrite").parquet(s"$outDir/catalog")
   }
 
   /** Catalog rows as (archive_id, begin, end) — the fleet timestamp index. */
@@ -79,11 +84,7 @@ object ClpCatalog {
              tsLo: Option[java.sql.Timestamp] = None,
              tsHi: Option[java.sql.Timestamp] = None): DataFrame = {
     val admissible = admissibleArchives(spark, outDir, tsLo, tsHi)
-    val empty = spark.emptyDataFrame
-      .withColumn("conv_id", lit("")).withColumn("turn_idx", lit(0))
-      .withColumn("ts", lit(null).cast("timestamp")).withColumn("text", lit(""))
-      .limit(0).select("conv_id", "turn_idx", "ts", "text")
-    if (admissible.isEmpty) empty
+    if (admissible.isEmpty) graft.search.ClpSearch.emptyResults(spark)
     else admissible.map { id =>
       new graft.search.ClpSearch(spark, s"$outDir/archives/$id")
         .search(query, caseSensitive, tsLo, tsHi)

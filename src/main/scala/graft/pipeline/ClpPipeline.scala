@@ -516,8 +516,13 @@ object ClpPipeline {
     // checkpoint (a full second copy of the corpus — at the 10^12-turn
     // target it would double archive storage). A failed run never reaches
     // here, so mid-run resume always still finds it; a resumed complete run
-    // answers turnsIn from the parse manifest instead.
+    // answers turnsIn from the parse manifest instead. Archives written
+    // before input_rows was recorded get the metric backfilled FIRST —
+    // deleting their checkpoint without it would leave turnsIn unanswerable
+    // forever.
     if (!cfg.keepParsed) {
+      if (lineage.metric("parse", "input_rows").isEmpty)
+        lineage.complete("parse", Map("input_rows" -> turnsIn))
       val p = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/parsed")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)

@@ -229,12 +229,8 @@ final class ClpSearch(spark: SparkSession, outDir: String,
              tsLo: Option[java.sql.Timestamp] = None,
              tsHi: Option[java.sql.Timestamp] = None,
              limit: Option[Int] = None): DataFrame = {
-    val empty = spark.emptyDataFrame
-      .withColumn("conv_id", lit("")).withColumn("turn_idx", lit(0))
-      .withColumn("ts", lit(null).cast("timestamp")).withColumn("text", lit(""))
-      .limit(0)
     candidates(query, caseSensitive, tsLo, tsHi) match {
-      case None => empty.select("conv_id", "turn_idx", "ts", "text")
+      case None => ClpSearch.emptyResults(spark)
       case Some((df, verify)) =>
         val cleaned = Wildcard.cleanUp(query)
         var out = withDecodedText(df)
@@ -263,4 +259,14 @@ final class ClpSearch(spark: SparkSession, outDir: String,
       .groupBy("bucket")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
       .orderBy("bucket")
+}
+
+object ClpSearch {
+  /** The search-result schema with zero rows — the WontMatch answer, shared
+    * by every layer that can prove emptiness before compiling a scan. */
+  def emptyResults(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame
+      .withColumn("conv_id", lit("")).withColumn("turn_idx", lit(0))
+      .withColumn("ts", lit(null).cast("timestamp")).withColumn("text", lit(""))
+      .limit(0).select("conv_id", "turn_idx", "ts", "text")
 }

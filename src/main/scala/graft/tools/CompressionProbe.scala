@@ -40,8 +40,7 @@ object CompressionProbe {
     ClpPipeline.run(spark, turns,
       ClpPipeline.Config(out, maxSinks = 64, saltParts = 64))
     def dirBytes(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+      org.apache.commons.io.FileUtils.sizeOf(f)
     val archBytes = dirBytes(new java.io.File(out))
     // general-purpose-compressor baseline (what the reference benchmarks
     // against): the same rendered lines, gzipped

@@ -52,6 +52,13 @@ class ClpCatalogSpec extends SparkSpecBase {
       tsLo = Some(ts(1000))).count() == 0)
   }
 
+  test("an empty corpus writes an empty catalog and search answers zero rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-empty").toString
+    ClpCatalog.ingest(spark, turns.limit(0), floor(col("turn_idx") / 5), out)
+    assert(spark.read.parquet(s"$out/catalog").count() == 0)
+    assert(ClpCatalog.search(spark, out, "*").count() == 0)
+  }
+
   test("cross-archive union search equals one archive over the whole corpus") {
     val single = java.nio.file.Files.createTempDirectory("graft-cat-one").toString
     graft.pipeline.ClpPipeline.run(spark, turns,

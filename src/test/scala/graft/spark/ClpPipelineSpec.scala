@@ -76,6 +76,23 @@ class ClpPipelineSpec extends SparkSpecBase {
     assert(res2.turnsIn == result.turnsIn && res2.rowsRouted == result.rowsRouted)
   }
 
+  test("pre-metric parse manifests backfill input_rows before the checkpoint drops") {
+    val out2 = Files.createTempDirectory("graft-pipe-old").toString
+    val cfg2 = cfg.copy(outDir = out2, keepParsed = true)
+    ClpPipeline.run(spark, turns, cfg2) // keepParsed: checkpoint retained
+    // simulate an archive written before input_rows was recorded
+    val manifest = java.nio.file.Paths.get(s"$out2/_lineage/parse.json")
+    java.nio.file.Files.write(manifest,
+      """{"stage": "parse", "status": "COMPLETE", "duration_ms": 1}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val res = ClpPipeline.run(spark, turns, cfg2.copy(resume = true, keepParsed = false))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out2/parsed")))
+    // turnsIn must survive the drop (from the backfilled manifest) on the
+    // NEXT resume too — without the backfill this read would crash
+    val res2 = ClpPipeline.run(spark, turns, cfg2.copy(resume = true, keepParsed = false))
+    assert(res.turnsIn == result.turnsIn && res2.turnsIn == result.turnsIn)
+  }
+
   test("enrichment join annotates every row that has a lookup match") {
     result // force
     val routed = spark.read.parquet(s"$outDir/routed")
