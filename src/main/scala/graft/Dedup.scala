@@ -66,6 +66,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // label propagation needs O(component diameter) rounds; past the cap the
+    // labels are NOT component minima and canonical-keep dedup downstream
+    // would keep/drop the wrong documents — fail loud, never return them
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -138,12 +144,16 @@ object Dedup {
    */
   def embeddingLshPairs(emb: DataFrame, tables: Int, planesPerTable: Int,
                         seed: Long, cosMin: Double): DataFrame = {
+    // plane dimensionality comes from the data (one row head) — hardcoding
+    // it would silently bucket on a PREFIX of wider embeddings (vec_dot
+    // stops at min length) and violate the advertised recall with no error
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val e = emb
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("norm", sqrt(vec_dot(col("emb"), col("emb"))))
       .select(col("vec_id"), transform(col("emb"), x => x / col("norm")).as("emb"))
     val tableCols: Seq[Column] = (0 until tables).map { t =>
-      val planes = KnnLsh.hyperplanes(planesPerTable, dim = 64, seed = seed + 1000L * t)
+      val planes = KnnLsh.hyperplanes(planesPerTable, dim, seed = seed + 1000L * t)
       struct(lit(t).as("tbl"), KnnLsh.bucketCol(col("emb"), planes).as("bucket"))
     }
     val bucketed = e

@@ -107,6 +107,27 @@ object GraftQueries {
     })
   }
 
+  /** The IVF train→index→probe→score pipeline shared by the `knn_ivf`
+    * (nProbe=2, pruned) and `knn_ivf_all` (nProbe=nlist ≡ brute force,
+    * oracle-gated) entries — only the probed cell set differs. */
+  private def ivfTopK(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
+    val qVec = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val cells = KnnIvf.probeCells(qVec, centroids, nProbe)
+    val idx = KnnIvf.index(e.filter(col("vec_id") =!= 0), "embedding", centroids)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    idx.filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(
+        vec_dot(col("embedding"), col("q_emb")) /
+          (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+           sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), asc("vec_id")).limit(5)
+  }
+
   /** Streaming-gate scaffold shared by every stream_* query: expose the
     * single parquet file through a temp-dir symlink (the file-stream source
     * needs a directory), run `transform` on the stream, drain it into a
@@ -123,7 +144,16 @@ object GraftQueries {
     val q = transform(sdf).writeStream
       .outputMode(mode).format("memory").queryName(qname).start()
     try { q.processAllAvailable() } finally { q.stop() }
-    s.table(qname)
+    // materialize, then release the per-invocation resources — repeated
+    // gate runs in one JVM must not accumulate memory-sink tables (which
+    // pin every matched row) or graft-stream temp dirs
+    val sink = s.table(qname)
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(qname)
+    java.nio.file.Files.deleteIfExists(streamDir.resolve(s"$table.parquet"))
+    java.nio.file.Files.deleteIfExists(streamDir)
+    out
   }
 
   /** One 4-archive catalog per input dir per JVM — the fleet-metadata layer
@@ -1283,46 +1313,14 @@ object GraftQueries {
     // in KnnIvfSpec). No SQL oracle at nProbe=2 (k-means isn't
     // SQL-expressible); the probe-all twin knn_ivf_all below IS under the
     // brute-force oracle, and the sbt suite asserts recall at nProbe. ----
-    "knn_ivf" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
-      val qVec = e.filter(col("vec_id") === 0).select(col("embedding"))
-        .head().getSeq[Float](0).map(_.toDouble).toArray
-      val cells = KnnIvf.probeCells(qVec, centroids, nProbe = 2)
-      val idx = KnnIvf.index(e.filter(col("vec_id") =!= 0), "embedding", centroids)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-      idx.filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
-        .crossJoin(broadcast(q))
-        .withColumn("score", round(
-          vec_dot(col("embedding"), col("q_emb")) /
-            (sqrt(vec_dot(col("embedding"), col("embedding"))) *
-             sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
-        .select("vec_id", "score")
-        .orderBy(desc("score"), asc("vec_id")).limit(5)
-    }),
+    "knn_ivf" -> ((s, d) => ivfTopK(s, d, nProbe = 2)),
 
     // ---- IVF probe-all correctness gate: with nProbe = nlist the cell
     // filter keeps every row, so the result MUST equal brute-force top-k —
     // this puts the whole train→index→probe→score path under the DuckDB
     // oracle (the only thing nProbe=2 above adds is which cells are
     // skipped, and KnnIvfSpec covers that recall). ----
-    "knn_ivf_all" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
-      val qVec = e.filter(col("vec_id") === 0).select(col("embedding"))
-        .head().getSeq[Float](0).map(_.toDouble).toArray
-      val cells = KnnIvf.probeCells(qVec, centroids, nProbe = 8)
-      val idx = KnnIvf.index(e.filter(col("vec_id") =!= 0), "embedding", centroids)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-      idx.filter(col("cell").isin(cells.map(Int.box).toIndexedSeq: _*))
-        .crossJoin(broadcast(q))
-        .withColumn("score", round(
-          vec_dot(col("embedding"), col("q_emb")) /
-            (sqrt(vec_dot(col("embedding"), col("embedding"))) *
-             sqrt(vec_dot(col("q_emb"), col("q_emb")))), 4))
-        .select("vec_id", "score")
-        .orderBy(desc("score"), asc("vec_id")).limit(5)
-    }),
+    "knn_ivf_all" -> ((s, d) => ivfTopK(s, d, nProbe = 8)),
 
     // ---- the bucketed embedding DEDUP end-to-end (the 100 TB shape the
     // exact dedup_embedding kernel runs inside): LSH bucket → per-bucket

@@ -522,7 +522,8 @@ object ClpPipeline {
     // forever.
     if (!cfg.keepParsed) {
       if (lineage.metric("parse", "input_rows").isEmpty)
-        lineage.complete("parse", Map("input_rows" -> turnsIn))
+        lineage.complete("parse",
+          lineage.metrics("parse") + ("input_rows" -> turnsIn))
       val p = new org.apache.hadoop.fs.Path(s"${cfg.outDir}/parsed")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)

@@ -487,11 +487,13 @@ object JsonPipeline {
    * log_event_idx; Spark's range-partitioned sort IS the distributed k-way
    * merge over the per-schema tables. Returns (log_event_idx, json).
    */
-  def extract(spark: SparkSession, outDir: String): DataFrame = {
+  def extract(spark: SparkSession, outDir: String, ordered: Boolean = true): DataFrame = {
     val reser = udf((raw: String) =>
       JsonShape.reserialize(JsonShape.typedLeaves(raw)))
-    spark.read.parquet(s"$outDir/records")
+    val recs = spark.read.parquet(s"$outDir/records")
       .select(col("log_event_idx"), reser(col("_raw")).as("json"))
-      .orderBy("log_event_idx")
+    // callers that re-shuffle (e.g. JsonExtract's chunked writer) skip the
+    // global range sort instead of paying for ordering they then destroy
+    if (ordered) recs.orderBy("log_event_idx") else recs
   }
 }

@@ -34,9 +34,16 @@ final class Lineage(outDir: String) {
     * questions like "how many input rows?" without re-reading (or even
     * keeping) the stage's data output. */
   def metric(stage: String, key: String): Option[Long] =
-    if (!Files.exists(path(stage))) None
+    metrics(stage).get(key)
+
+  /** All numeric metrics recorded in a stage manifest (completed_at_ms
+    * excluded — [[complete]] re-stamps it). Lets a manifest be extended
+    * without discarding what an earlier run recorded. */
+  def metrics(stage: String): Map[String, Long] =
+    if (!Files.exists(path(stage))) Map.empty
     else {
       val json = new String(Files.readAllBytes(path(stage)), StandardCharsets.UTF_8)
-      s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+      """"([A-Za-z0-9_]+)":\s*(-?\d+)""".r.findAllMatchIn(json)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap - "completed_at_ms"
     }
 }

@@ -40,8 +40,14 @@ object JsonExtract {
   def run(spark: SparkSession, archiveDir: String, outDir: String,
           chunkSize: Long): Seq[(String, Long, Long)] = {
     val archiveId = new java.io.File(archiveDir).getName
-    val recs = graft.pipeline.JsonPipeline.extract(spark, archiveDir)
+    // unordered: the chunked writer re-shuffles on chunk anyway, so the
+    // extract contract's global sort would be paid and then thrown away.
+    // Persisted because BOTH the chunk write and the manifest aggregation
+    // consume it — without this the reserialize pass (the job's dominant
+    // cost) runs twice.
+    val recs = graft.pipeline.JsonPipeline.extract(spark, archiveDir, ordered = false)
       .withColumn("chunk", (col("log_event_idx") / chunkSize).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val staging = s"$outDir/_staging"
     recs.repartition(col("chunk"))
@@ -54,6 +60,7 @@ object JsonExtract {
     val manifest = recs.groupBy("chunk")
       .agg(min("log_event_idx").as("first"), max("log_event_idx").as("last"))
       .orderBy("chunk").collect()
+    recs.unpersist()
     val out = manifest.toSeq.map { r =>
       val (chunk, first, last) = (r.getLong(0), r.getLong(1), r.getLong(2) + 1)
       val dir = new java.io.File(s"$staging/chunk=$chunk")

@@ -250,8 +250,14 @@ object KqlCompiler {
               if pattern.length == 1 && pattern.head.startsWith("$") &&
                 pattern.head != "$_ts" =>
             val key = pattern.head
-            val hits = entries.filter(_.fields.get(key)
-              .exists(v => RangeIndex.satisfies(v, op, value, isDate)))
+            // entry keys match with the SAME wildcard semantics the row
+            // predicate uses (pathMatches) — an exact-key map lookup would
+            // fold `$_file*: ...` to constant false even when `$_filename`
+            // entries satisfy the filter
+            val hits = entries.filter(_.fields.exists { case (k, v) =>
+              Wildcard.matches(k, Wildcard.cleanUp(key), caseSensitive = true) &&
+                RangeIndex.satisfies(v, op, value, isDate)
+            })
             if (hits.isEmpty) lit(false)
             else {
               val idx = col("log_event_idx")

@@ -106,14 +106,20 @@ final class StreamingPipeline(spark: SparkSession, outDir: String,
     val vars = oldVars ++ newVarValues.zipWithIndex.map { case (v, i) => v -> (varBase + i) }
     val lts = oldLts ++ newLtValues.zipWithIndex.map { case (v, i) => v -> (ltBase + i) }
 
+    // the FIRST write per dict is an overwrite: a crash between a prior
+    // attempt's task commits and its _SUCCESS marker can leave orphan part
+    // files that an append would duplicate (same values, different ids);
+    // overwrite clears the remnants. Committed dicts (_SUCCESS present)
+    // only ever receive true deltas.
+    val firstWriteMode = if (haveDicts) "append" else "overwrite"
     if (newVarValues.nonEmpty || !haveDicts)
       newVarValues.zipWithIndex.map { case (v, i) => (varBase + i, v) }.toSeq
         .toDF("var_id", "value")
-        .coalesce(1).write.mode("append").parquet(varDictPath)
+        .coalesce(1).write.mode(firstWriteMode).parquet(varDictPath)
     if (newLtValues.nonEmpty || !haveDicts)
       newLtValues.zipWithIndex.map { case (v, i) => (ltBase + i, v) }.toSeq
         .toDF("logtype_id", "logtype")
-        .coalesce(1).write.mode("append").parquet(ltDictPath)
+        .coalesce(1).write.mode(firstWriteMode).parquet(ltDictPath)
     dictState = Some((vars, lts))
 
     // encode via broadcast maps (sink = logtype_id % 16 for the stream)
@@ -162,7 +168,10 @@ final class StreamingPipeline(spark: SparkSession, outDir: String,
             org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField(valueCol,
             org.apache.spark.sql.types.StringType))))
-        .write.mode("append").parquet(path)
+        // same partial-commit healing as the driver mode: the first write
+        // overwrites any orphan part files a crashed attempt left without
+        // its _SUCCESS marker; committed dicts only receive deltas
+        .write.mode(if (haveDicts) "append" else "overwrite").parquet(path)
     }
 
     appendDelta(

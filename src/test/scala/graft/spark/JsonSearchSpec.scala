@@ -144,6 +144,12 @@ class JsonSearchSpec extends SparkSpecBase {
       Set(0L, 1L, 2L, 3L, 8L, 9L, 10L, 11L))
     assert(ids("""$_filename: "f0.jsonl" OR v >= 100""", dir) ==
       Set(0L, 1L, 2L, 3L, 10L, 11L))
+    // wildcard KEY patterns must match index entry keys with the same
+    // wildcard semantics as the row predicate (a literal map lookup would
+    // fold these to constant false and wrongly return nothing)
+    assert(ids("""$_file*: "f1.jsonl"""", dir) == Set(4L, 5L, 6L, 7L))
+    assert(ids("""$_filenam?: "f1.jsonl"""", dir) == Set(4L, 5L, 6L, 7L))
+    assert(ids("""$_file*: 0""", dir) == Set(0L, 2L, 4L, 6L, 8L, 10L))
     // `$` columns are NOT addressable by wildcard/bare-value filters
     // (namespace rule: SchemaMatch matches namespace before name)
     assert(ids("""*: "f1.jsonl"""", dir) == Set.empty)
