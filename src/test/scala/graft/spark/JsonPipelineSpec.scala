@@ -276,6 +276,53 @@ class JsonPipelineSpec extends SparkSpecBase {
     assert(nonEmpty >= 12, s"weak fuzz corpus: only $nonEmpty/24 non-empty oracles")
   }
 
+  test("fuzz: random $-metadata filters (exact + wildcard keys) equal the direct oracle") {
+    // Randomized sweep of the range-index rewrite layer: ingest metadata
+    // keys queried with exact names, WILDCARD key patterns (the class of
+    // the round-3 exact-map-lookup bug), impossible values (plan-time
+    // WontMatch), and conjunctions with row predicates.
+    import org.apache.spark.sql.functions.concat
+    val rnd = new scala.util.Random(
+      sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(0xD06F00DL))
+    val df = (0 until 240).map(i => (i.toLong, s"""{"idx":$i,"v":${i % 50}}""")).toDF("i", "json")
+    val dir = Files.createTempDirectory("graft-ri-fuzz").toString
+    JsonPipeline.route(spark, df, "json", dir,
+      metadata = Seq(
+        "$_filename" -> concat(lit("f"), (col("i") / 20).cast("long").cast("string"), lit(".jsonl")),
+        "$_file_split_number" -> (col("i") % 3)),
+      options = JsonPipeline.Options(orderCol = Some("i")))
+    def fname(i: Int) = s"f${i / 20}.jsonl"
+
+    var nonEmpty = 0
+    for (n <- 0 until 24) {
+      val (kql, pred): (String, Int => Boolean) = rnd.nextInt(5) match {
+        case 0 => // exact key; file id may be out of range (index prunes all)
+          val f = rnd.nextInt(14)
+          (s"""$$_filename: "f$f.jsonl"""", i => fname(i) == s"f$f.jsonl")
+        case 1 => // WILDCARD key: matches both metadata keys; only the
+          // filename can satisfy a .jsonl value
+          val f = rnd.nextInt(14)
+          (s"""$$_file*: "f$f.jsonl"""", i => fname(i) == s"f$f.jsonl")
+        case 2 => // numeric metadata; value 3 never exists (fold-away path)
+          val sNum = rnd.nextInt(4)
+          (s"$$_file_split_number: $sNum", i => i % 3 == sNum)
+        case 3 => // metadata conjunction over interleaved (overlapping) spans
+          val f = rnd.nextInt(12); val sNum = rnd.nextInt(3)
+          (s"""$$_filename: "f$f.jsonl" AND $$_file_split_number: $sNum""",
+            i => fname(i) == s"f$f.jsonl" && i % 3 == sNum)
+        case 4 => // wildcard VALUE over every file + a row predicate
+          val v = rnd.nextInt(50)
+          (s"""$$_filename: "f*" AND v >= $v""", i => (i % 50) >= v)
+      }
+      val exp = (0 until 240).filter(pred).map(_.toLong).toSet
+      if (exp.nonEmpty) nonEmpty += 1
+      val got = JsonPipeline.kqlSearch(spark, dir, kql, Seq("idx"))
+        .as[Long].collect().toSet
+      assert(got == exp, s"metadata fuzz #$n mismatch for '$kql'")
+    }
+    assert(nonEmpty >= 12, s"weak metadata fuzz corpus: only $nonEmpty/24 non-empty")
+  }
+
   test("chunked extraction writes ordered chunk files with a contiguous manifest") {
     val dir = Files.createTempDirectory("graft-jsonl-chunk").toString
     val originals = Seq.tabulate(23)(i => s"""{"n":$i,"msg":"event number $i"}""")
