@@ -148,10 +148,10 @@ object Dedup {
     // it would silently bucket on a PREFIX of wider embeddings (vec_dot
     // stops at min length) and violate the advertised recall with no error
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val e = emb
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
-      .withColumn("norm", sqrt(vec_dot(col("emb"), col("emb"))))
-      .select(col("vec_id"), transform(col("emb"), x => x / col("norm")).as("emb"))
+    // guarded normalization (KnnIvf.normalized): a zero embedding stays
+    // zero and scores cos 0 against everything, instead of turning every
+    // pair it touches into NaN and silently vanishing from the results
+    val e = emb.select(col("vec_id"), graft.KnnIvf.normalized(col("embedding")).as("emb"))
     val tableCols: Seq[Column] = (0 until tables).map { t =>
       val planes = KnnLsh.hyperplanes(planesPerTable, dim, seed = seed + 1000L * t)
       struct(lit(t).as("tbl"), KnnLsh.bucketCol(col("emb"), planes).as("bucket"))

@@ -496,27 +496,21 @@ object ClpFunctions {
     call_function("simhash64", words, bits)
 
   /** Plan-time-bound MinHash family (production widths, one codegen'd pass);
-    * registers a capturing expression like [[clp_encode_schema]]. */
-  def minhash_sigs(shingles: Column, a: Array[Long], b: Array[Long], mod: Long)(
-      implicit spark: org.apache.spark.sql.SparkSession): Column = {
-    val fname = "minhash_sigs_" + Integer.toHexString(
-      java.util.Arrays.hashCode(a) * 31 + java.util.Arrays.hashCode(b))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname, es => MinhashSigsExpr(es.head, a, b, mod), "built-in")
-    call_function(fname, shingles)
-  }
+    * the family is captured by the Expression directly — routing through the
+    * function registry would key the binding on a name, and two families
+    * hashing to the same name would silently rebind an earlier Column. */
+  def minhash_sigs(shingles: Column, a: Array[Long], b: Array[Long], mod: Long): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      MinhashSigsExpr(
+        org.apache.spark.sql.GraftExpr.expression(shingles), a, b, mod))
 
-  /** Broadcast-bound dictionary-id → value resolution; the broadcast is
-    * plan-time configuration, so this registers a capturing expression like
-    * [[clp_encode_schema]] does. */
+  /** Broadcast-bound dictionary-id → value resolution; the broadcast rides
+    * the Expression itself (no registry entry to leak one registration —
+    * and one pinned dictionary copy — per query). */
   def dict_values(ids: Column,
-      bc: org.apache.spark.broadcast.Broadcast[Map[Long, String]])(
-      implicit spark: org.apache.spark.sql.SparkSession): Column = {
-    val fname = "dict_values_" + Integer.toHexString(System.identityHashCode(bc))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname, es => DictValuesExpr(es.head, bc), "built-in")
-    call_function(fname, ids)
-  }
+      bc: org.apache.spark.broadcast.Broadcast[Map[Long, String]]): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      DictValuesExpr(org.apache.spark.sql.GraftExpr.expression(ids), bc))
   def ts_pattern_parse(text: Column): Column = call_function("ts_pattern_parse", text)
   def ts_pattern_format(patternId: Column, epochMs: Column): Column =
     call_function("ts_pattern_format", patternId, epochMs)
@@ -524,13 +518,10 @@ object ClpFunctions {
   def vec_sq8(vec: Column, mult: Column): Column = call_function("vec_sq8", vec, mult)
   def vec_qdot(a: Column, b: Column): Column = call_function("vec_qdot", a, b)
 
-  /** Grok/schema-mode encode; the schema is plan-time configuration, so this
-    * builds the Expression directly rather than via the registry. */
-  def clp_encode_schema(text: Column, schema: graft.core.TokenizerSchema)(
-      implicit spark: org.apache.spark.sql.SparkSession): Column = {
-    val fname = "clp_encode_schema_" + Integer.toHexString(System.identityHashCode(schema))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fname, es => ClpEncodeSchemaExpr(es.head, schema), "built-in")
-    call_function(fname, text)
-  }
+  /** Grok/schema-mode encode; the schema is plan-time configuration captured
+    * by the Expression directly — no per-schema registry entry. */
+  def clp_encode_schema(text: Column, schema: graft.core.TokenizerSchema): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      ClpEncodeSchemaExpr(
+        org.apache.spark.sql.GraftExpr.expression(text), schema))
 }

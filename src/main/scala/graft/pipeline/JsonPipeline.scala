@@ -249,6 +249,17 @@ object JsonPipeline {
         .sortBy(_._1).toSeq
       entries.toDF("start_idx", "end_idx", "fields")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/range_index")
+    } else {
+      // a metadata-free re-route over a dir that HAD metadata must not leave
+      // the previous ingest's index describing the overwritten records
+      val idx = new java.io.File(s"$outDir/range_index")
+      if (idx.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(idx)
+      }
     }
 
     // MPT leaves: union of every schema's leaf set; deterministic dense node

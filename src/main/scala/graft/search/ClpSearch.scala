@@ -44,12 +44,15 @@ final class ClpSearch(spark: SparkSession, outDir: String,
     if (useDriverMaps) withDecodedTextBroadcast(rows)
     else withDecodedTextDistributed(rows)
 
+  // broadcast ONCE per instance: a per-query broadcast would never be
+  // reclaimed while its plan is referenced, growing by |dict| per search
+  private lazy val bcVarDictInv = spark.sparkContext.broadcast(varDictInv)
+
   private def withDecodedTextBroadcast(rows: DataFrame): DataFrame = {
     // fully codegen'd decode: ONE placeholder walk splits the merged var
     // stream (clp_split_vars), the broadcast inverse dict rides the plan as
     // a reference object (dict_values) — no interpreted UDF on the hot path
-    implicit val s: SparkSession = spark
-    val bcInv = spark.sparkContext.broadcast(varDictInv)
+    val bcInv = bcVarDictInv
     rows
       .join(broadcast(logtypeDictDf), Seq("logtype_id"))
       .withColumn("_sv", graft.functions.ClpFunctions.clp_split_vars(col("logtype"), col("vars")))

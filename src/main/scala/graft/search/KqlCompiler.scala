@@ -244,11 +244,15 @@ object KqlCompiler {
         // log_event_idx predicate (parquet row-group pushdown) conjoined
         // with the row predicate, which keeps the rewrite exact even for
         // overlapping ranges. `$_ts` is the timestamp index's column, not a
-        // range-index key — it keeps its plain row predicate.
+        // range-index key — entries never describe it, so any key pattern
+        // that COULD match `$_ts` (itself, or a wildcard like `$*`) must
+        // skip the rewrite entirely: restricting such a filter to entry
+        // hits would drop rows that match via the $_ts leaf.
         val base = rangeIndex match {
           case Some(entries)
               if pattern.length == 1 && pattern.head.startsWith("$") &&
-                pattern.head != "$_ts" =>
+                !Wildcard.matches("$_ts", Wildcard.cleanUp(pattern.head),
+                  caseSensitive = true) =>
             val key = pattern.head
             // entry keys match with the SAME wildcard semantics the row
             // predicate uses (pathMatches) — an exact-key map lookup would

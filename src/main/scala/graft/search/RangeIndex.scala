@@ -56,7 +56,13 @@ object RangeIndex {
     val numVal = entryValue.toDoubleOption
     op match {
       case Kql.Eq =>
-        if (numLit.isDefined && numVal.isDefined) numVal.get == numLit.get
+        // `Double.compare` keeps NaN == NaN decidable (the row predicate
+        // compares the stored STRING "NaN", which does match); plain ==
+        // covers 0.0 vs -0.0, which compare() distinguishes but the row
+        // predicate's numeric cast does not
+        if (numLit.isDefined && numVal.isDefined)
+          numVal.get == numLit.get ||
+            java.lang.Double.compare(numVal.get, numLit.get) == 0
         else if (KqlCompiler.valueHasWildcard(rawValue))
           Wildcard.matches(entryValue,
             Wildcard.cleanUp(KqlCompiler.unescapeValue(rawValue, forPattern = true)),
@@ -64,6 +70,10 @@ object RangeIndex {
         else entryValue == KqlCompiler.unescapeValue(rawValue, forPattern = false)
       case _ =>
         (numLit, numVal) match {
+          // a NaN on either side of a range op is not decidable here — the
+          // row predicate's comparison semantics differ per column type, so
+          // stay on the superset side and let it decide
+          case (Some(l), Some(v)) if l.isNaN || v.isNaN => true
           case (Some(l), Some(v)) => cmp(java.lang.Double.compare(v, l), op)
           case (Some(_), None) => false
           case (None, _) =>

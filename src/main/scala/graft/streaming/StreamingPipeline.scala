@@ -61,7 +61,12 @@ final class StreamingPipeline(spark: SparkSession, outDir: String,
       // just materialize via cache for the two passes below
       .cache()
 
-    val haveDicts = new java.io.File(s"$varDictPath/_SUCCESS").exists()
+    // BOTH markers must exist: a first-batch crash between the var-dict
+    // commit and the logtype-dict write would otherwise replay with
+    // haveDicts=true and hydrate a nonexistent lt-dict path forever; a
+    // half-committed first batch instead recomputes and overwrite-heals both
+    val haveDicts = new java.io.File(s"$varDictPath/_SUCCESS").exists() &&
+      new java.io.File(s"$ltDictPath/_SUCCESS").exists()
     // cheap cardinality gate BEFORE anything dict-sized is materialized —
     // parquet row counts come from footers, no scan
     val dictCount: Long = dictState match {

@@ -31,6 +31,18 @@ class RangeIndexSpec extends AnyFunSuite {
     assert(RangeIndex.satisfies("whatever", Gt, "2024-01-01", isDate = true))
   }
 
+  test("NaN never breaks the superset rule") {
+    // both sides parse as Double NaN: the row predicate compares the stored
+    // STRING "NaN" (which matches), so Eq must not use NaN-propagating ==
+    assert(RangeIndex.satisfies("NaN", Eq, "NaN"))
+    assert(!RangeIndex.satisfies("NaN", Eq, "1.5"))
+    assert(!RangeIndex.satisfies("1.5", Eq, "NaN"))
+    // a NaN on either side of a range op is undecidable here — superset says
+    // true, the row predicate decides
+    assert(RangeIndex.satisfies("NaN", Gt, "0"))
+    assert(RangeIndex.satisfies("3", Lte, "NaN"))
+  }
+
   test("range coalescing merges overlapping and adjacent spans") {
     assert(RangeIndex.coalesceRanges(Seq((0L, 4L), (4L, 8L), (10L, 12L))) ==
       Seq((0L, 8L), (10L, 12L)))

@@ -80,6 +80,38 @@ class DedupLshSpec extends SparkSpecBase {
     assert(recallProd >= recallOne - 1e-9, "recall did not rise with table count")
   }
 
+  test("a zero embedding scores cos 0 instead of poisoning pairs with NaN") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val v = Array.fill(8)(0.5f)
+    val emb = Seq(
+      (0L, v.toSeq), (1L, v.toSeq),                 // exact duplicates
+      (2L, Array.fill(8)(0.0f).toSeq)               // zero vector present
+    ).toDF("vec_id", "embedding")
+    val got = graft.Dedup.embeddingLshPairs(emb, tables = 16, planesPerTable = 2,
+        seed = 1L, cosMin = 0.9)
+      .select(col("a_id"), col("b_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the duplicate pair survives with a finite score; the zero vector
+    // neither appears (cos 0 < 0.9) nor turns anything into NaN
+    assert(got == Set((0L, 1L, 1.0)), s"got $got")
+  }
+
+  test("two MinHash families differing only in mod stay independently bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq("a b c", "b c d", "c d e"))).toDF("id", "sh")
+    val a = Array(3L, 5L); val b = Array(7L, 11L)
+    // same (a, b) — a registry keyed on the family hash would rebind the
+    // first Column to the second family's mod before analysis
+    val c1 = graft.functions.ClpFunctions.minhash_sigs(col("sh"), a, b, 1000033L)
+    val c2 = graft.functions.ClpFunctions.minhash_sigs(col("sh"), a, b, 13L)
+    val r = df.select(c1.as("s1"), c2.as("s2")).head
+    val s1 = r.getSeq[Long](0); val s2 = r.getSeq[Long](1)
+    assert(s2.forall(_ < 13L), s"mod-13 family leaked large values: $s2")
+    assert(s1.exists(_ >= 13L), s"mod-1000033 family was rebound to mod 13: $s1")
+  }
+
   test("wide SimHash: 64-bit signatures separate better than 8-bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -284,18 +284,24 @@ class JsonPipelineSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.concat
     val rnd = new scala.util.Random(
       sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(0xD06F00DL))
-    val df = (0 until 240).map(i => (i.toLong, s"""{"idx":$i,"v":${i % 50}}""")).toDF("i", "json")
+    // every record also carries a timestamp key, so the ingest has BOTH a
+    // range index and a $_ts column — key patterns drawn below can match
+    // either, and the rewrite must stay exact across that boundary
+    def tsStr(i: Int) = f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"
+    val df = (0 until 240)
+      .map(i => (i.toLong, s"""{"idx":$i,"v":${i % 50},"ts":"${tsStr(i)}"}"""))
+      .toDF("i", "json")
     val dir = Files.createTempDirectory("graft-ri-fuzz").toString
     JsonPipeline.route(spark, df, "json", dir,
       metadata = Seq(
         "$_filename" -> concat(lit("f"), (col("i") / 20).cast("long").cast("string"), lit(".jsonl")),
         "$_file_split_number" -> (col("i") % 3)),
-      options = JsonPipeline.Options(orderCol = Some("i")))
+      options = JsonPipeline.Options(orderCol = Some("i"), timestampKey = Some("ts")))
     def fname(i: Int) = s"f${i / 20}.jsonl"
 
     var nonEmpty = 0
-    for (n <- 0 until 24) {
-      val (kql, pred): (String, Int => Boolean) = rnd.nextInt(5) match {
+    for (n <- 0 until 28) {
+      val (kql, pred): (String, Int => Boolean) = rnd.nextInt(7) match {
         case 0 => // exact key; file id may be out of range (index prunes all)
           val f = rnd.nextInt(14)
           (s"""$$_filename: "f$f.jsonl"""", i => fname(i) == s"f$f.jsonl")
@@ -313,6 +319,14 @@ class JsonPipelineSpec extends SparkSpecBase {
         case 4 => // wildcard VALUE over every file + a row predicate
           val v = rnd.nextInt(50)
           (s"""$$_filename: "f*" AND v >= $v""", i => (i % 50) >= v)
+        case 5 => // key pattern matching ONLY $_ts — range-index entries
+          // never describe it, so the rewrite must be skipped, not folded
+          val t = rnd.nextInt(240)
+          (s"$$_ts*: ${epoch(tsStr(t))}", i => i == t)
+        case 6 => // $* matches the indexed keys AND $_ts: rows satisfy via
+          // the split number; $_ts epochs and filenames never equal sNum
+          val sNum = rnd.nextInt(3)
+          (s"$$*: $sNum", i => i % 3 == sNum)
       }
       val exp = (0 until 240).filter(pred).map(_.toLong).toSet
       if (exp.nonEmpty) nonEmpty += 1
@@ -320,7 +334,43 @@ class JsonPipelineSpec extends SparkSpecBase {
         .as[Long].collect().toSet
       assert(got == exp, s"metadata fuzz #$n mismatch for '$kql'")
     }
-    assert(nonEmpty >= 12, s"weak metadata fuzz corpus: only $nonEmpty/24 non-empty")
+    assert(nonEmpty >= 14, s"weak metadata fuzz corpus: only $nonEmpty/28 non-empty")
+  }
+
+  test("wildcard $-key patterns that can match $_ts skip the range-index rewrite") {
+    // ingest with BOTH a timestamp key and range-index metadata: entries
+    // never describe $_ts, so a key pattern that could match it ($_ts*, $*)
+    // must keep the plain row predicate instead of folding to entry hits
+    val dir = Files.createTempDirectory("graft-ri-ts").toString
+    val recs = (0 until 6)
+      .map(i => (i.toLong, s"""{"id":$i,"ts":"2024-01-01 10:0$i:00"}"""))
+      .toDF("i", "json")
+    JsonPipeline.route(spark, recs, "json", dir,
+      metadata = Seq("$_filename" -> lit("a.jsonl")),
+      options = JsonPipeline.Options(
+        timestampKey = Some("ts"), orderCol = Some("i")))
+    val e = epoch("2024-01-01 10:03:00")
+    assert(JsonPipeline.kqlSearch(spark, dir, s"$$_ts*: $e", Seq("id"))
+      .as[Long].collect().toSet == Set(3L))
+    assert(JsonPipeline.kqlSearch(spark, dir, s"$$*: $e", Seq("id"))
+      .as[Long].collect().toSet == Set(3L))
+    // exact metadata keys still take the rewrite (and its pruning)
+    assert(JsonPipeline.kqlSearch(spark, dir, """$_filename: "a.jsonl"""", Seq("id"))
+      .count() == 6)
+    assert(JsonPipeline.kqlSearch(spark, dir, """$_filename: "b.jsonl"""", Seq("id"))
+      .count() == 0)
+  }
+
+  test("a metadata-free re-route clears the previous ingest's range index") {
+    val dir = Files.createTempDirectory("graft-ri-stale").toString
+    val recs = Seq("""{"id":1}""", """{"id":2}""").toDF("json")
+    JsonPipeline.route(spark, recs, "json", dir,
+      metadata = Seq("$_filename" -> lit("a.jsonl")))
+    assert(new java.io.File(s"$dir/range_index").exists())
+    JsonPipeline.route(spark, recs, "json", dir)
+    assert(!new java.io.File(s"$dir/range_index").exists(),
+      "stale range_index from the metadata-bearing ingest survived the re-route")
+    assert(JsonPipeline.kqlSearch(spark, dir, "id: 2", Seq("id")).count() == 1)
   }
 
   test("chunked extraction writes ordered chunk files with a contiguous manifest") {

@@ -206,4 +206,26 @@ class StreamingPipelineSpec extends SparkSpecBase {
     assert(a.length == 1, s"window A must emit exactly once, got ${a.toSeq}")
     assert(a.head.getAs[Long]("n") == 3, "late row must not be counted")
   }
+
+  test("first-batch crash between the var-dict and logtype-dict writes replays cleanly") {
+    // simulate the crash window: the var dict committed (_SUCCESS present),
+    // the logtype dict never written, no batch marker. The replay must treat
+    // dictionaries as absent — recompute from scratch and overwrite-heal the
+    // half-committed one — not hydrate a nonexistent logtype-dict path
+    val outDir = Files.createTempDirectory("graft-stream-crash").toString
+    Seq((0L, "orphan-from-crashed-attempt")).toDF("var_id", "value")
+      .coalesce(1).write.parquet(s"$outDir/var_dict")
+    assert(new java.io.File(s"$outDir/var_dict/_SUCCESS").exists())
+
+    val turns = (0L until 40L).map(c => TranscriptGen.turnAt(c, 0, seed = 7L))
+    val engine = new StreamingPipeline(spark, outDir)
+    engine.processBatch(turns.toDF(), 0L)
+
+    assert(engine.readRouted().count() == 40)
+    assert(new java.io.File(s"$outDir/logtype_dict/_SUCCESS").exists())
+    // overwrite healing: the orphan value is gone, ids are dense from 0
+    val vd = spark.read.parquet(s"$outDir/var_dict").as[(Long, String)].collect()
+    assert(!vd.exists(_._2 == "orphan-from-crashed-attempt"))
+    assert(vd.map(_._1).sorted.toSeq == (0L until vd.length).toSeq)
+  }
 }
