@@ -37,7 +37,7 @@ object FloatFormat {
     var i = 0
     if (i < n && s.charAt(i) == '-') i += 1
     val intStart = i
-    while (i < n && s.charAt(i).isDigit) i += 1
+    while (i < n && { val c = s.charAt(i); c >= '0' && c <= '9' }) i += 1
     if (i == intStart) return None // no integer digits
     var hasPoint = 0
     var fracDigits = 0
@@ -45,7 +45,7 @@ object FloatFormat {
       hasPoint = 1
       i += 1
       val fs = i
-      while (i < n && s.charAt(i).isDigit) i += 1
+      while (i < n && { val c = s.charAt(i); c >= '0' && c <= '9' }) i += 1
       fracDigits = i - fs
       if (fracDigits == 0 || fracDigits > 31) return None
     }
@@ -58,7 +58,7 @@ object FloatFormat {
       if (i < n && s.charAt(i) == '+') { expSign = 1; i += 1 }
       else if (i < n && s.charAt(i) == '-') { expSign = 2; i += 1 }
       val es = i
-      while (i < n && s.charAt(i).isDigit) i += 1
+      while (i < n && { val c = s.charAt(i); c >= '0' && c <= '9' }) i += 1
       expDigits = i - es
       if (expDigits == 0 || expDigits > 4) return None
     }

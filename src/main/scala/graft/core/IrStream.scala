@@ -129,43 +129,62 @@ object IrStream {
         val dictVars = Array.newBuilder[String]
         var logtype: String = null
         while (logtype == null) {
-          val tag = bytes(pos); pos += 1
+          val tag = u8().toByte
           tag match {
             case TagInt4 => encVars += readI32(); case TagInt8 => encVars += readI64()
             case TagFloat => encVars += readI64()
             case TagDict => dictVars += readString()
             case TagLogtype => logtype = readString(); ltDict += logtype
-            case TagLogtypeRef => logtype = ltDict(readVarint().toInt)
+            case TagLogtypeRef =>
+              val ref = readVarint()
+              if (ref < 0 || ref >= ltDict.length.toLong)
+                throw new IllegalArgumentException(s"bad logtype ref $ref at $pos")
+              logtype = ltDict(ref.toInt)
             case t => throw new IllegalArgumentException(
               f"bad IR tag 0x$t%02x at ${pos - 1}")
           }
         }
-        val ts = bytes(pos) match {
-          case TagTsAbs => pos += 1; readI64()
-          case TagTsDelta => pos += 1; prevTs + readZigzagVarint()
+        val ts = u8().toByte match {
+          case TagTsAbs => readI64()
+          case TagTsDelta => prevTs + readZigzagVarint()
           case t => throw new IllegalArgumentException(
-            f"expected timestamp tag, got 0x$t%02x at $pos")
+            f"expected timestamp tag, got 0x$t%02x at ${pos - 1}")
         }
         prevTs = ts
+        // a stream that ends without its EOS tag is truncated, not complete
+        if (pos >= bytes.length)
+          throw new IllegalArgumentException(s"missing EOS tag at $pos")
         if (bytes(pos) == TagEos) done = true
         IrEvent(ts, ClpEncoding.Encoded(logtype, dictVars.result(), encVars.result()))
       }
 
+      // corrupt/truncated streams must fail loudly and aligned, never
+      // silently misparse (the same hardening as KvIr.deserialize)
+      private def u8(): Int = {
+        if (pos >= bytes.length)
+          throw new IllegalArgumentException(s"truncated IR stream at $pos")
+        val b = bytes(pos) & 0xff; pos += 1; b
+      }
       private def readI32(): Long = {
         var v = 0; var k = 0
-        while (k < 4) { v = (v << 8) | (bytes(pos) & 0xff); pos += 1; k += 1 }
+        while (k < 4) { v = (v << 8) | u8(); k += 1 }
         v.toLong
       }
       private def readI64(): Long = {
         var v = 0L; var k = 0
-        while (k < 8) { v = (v << 8) | (bytes(pos) & 0xff); pos += 1; k += 1 }
+        while (k < 8) { v = (v << 8) | u8().toLong; k += 1 }
         v
       }
       private def readVarint(): Long = {
         var v = 0L; var shift = 0
-        var b = bytes(pos); pos += 1
+        var b = u8()
         while ((b & 0x80) != 0) {
-          v |= (b & 0x7fL) << shift; shift += 7; b = bytes(pos); pos += 1
+          v |= (b & 0x7fL) << shift; shift += 7
+          // a 10-byte varint's final byte lands at shift 63; a continuation
+          // past 64 bits is corrupt
+          if (shift > 63) throw new IllegalArgumentException(
+            s"varint overflow at $pos")
+          b = u8()
         }
         v | ((b & 0x7fL) << shift)
       }
@@ -173,7 +192,12 @@ object IrStream {
         val u = readVarint(); (u >>> 1) ^ -(u & 1)
       }
       private def readString(): String = {
-        val len = readVarint().toInt
+        // validate the 64-bit length against the remaining bytes BEFORE the
+        // toInt narrow — 2^32 would truncate to 0 and silently misalign
+        val len64 = readVarint()
+        if (len64 < 0 || len64 > (bytes.length - pos).toLong)
+          throw new IllegalArgumentException(s"bad string length $len64 at $pos")
+        val len = len64.toInt
         val s = new String(bytes, pos, len, java.nio.charset.StandardCharsets.UTF_8)
         pos += len
         s

@@ -75,9 +75,12 @@ object JsonShape {
     def ws(): Unit = while (i < n && (json.charAt(i) == ' ' || json.charAt(i) == '\t' ||
       json.charAt(i) == '\n' || json.charAt(i) == '\r')) i += 1
 
+    // truncated input must surface as ParseError, never an index exception
+    def cur(): Char = { if (i >= n) err("truncated"); json.charAt(i) }
+
     // returns the parsed string AND whether it contained an unescaped space
     def string(): String = {
-      if (json.charAt(i) != '"') err("expected string")
+      if (cur() != '"') err("expected string")
       i += 1
       val sb = new java.lang.StringBuilder
       while (i < n && json.charAt(i) != '"') {
@@ -108,55 +111,60 @@ object JsonShape {
 
     def skipValue(): Unit = { // for array elements: type is the array itself
       ws()
-      json.charAt(i) match {
+      cur() match {
         case '"' => string(); ()
         case '{' =>
           i += 1; ws()
-          if (json.charAt(i) == '}') { i += 1 }
+          if (cur() == '}') { i += 1 }
           else {
             var more = true
             while (more) {
               ws(); string(); ws()
-              if (json.charAt(i) != ':') err("expected ':'")
+              if (cur() != ':') err("expected ':'")
               i += 1; skipValue(); ws()
-              if (json.charAt(i) == ',') i += 1 else more = false
+              if (cur() == ',') i += 1 else more = false
             }
-            if (json.charAt(i) != '}') err("expected '}'"); i += 1
+            if (cur() != '}') err("expected '}'"); i += 1
           }
         case '[' =>
           i += 1; ws()
-          if (json.charAt(i) == ']') { i += 1 }
+          if (cur() == ']') { i += 1 }
           else {
             var more = true
             while (more) {
               skipValue(); ws()
-              if (json.charAt(i) == ',') i += 1 else more = false
+              if (cur() == ',') i += 1 else more = false
             }
-            if (json.charAt(i) != ']') err("expected ']'"); i += 1
+            if (cur() != ']') err("expected ']'"); i += 1
           }
         case _ => scalarTail()
       }
     }
 
-    // strict JSON number shape: -?digits(.digits)?([eE][+-]?digits)?
+    // strict JSON number grammar: -?(0|[1-9]digits)(.digits)?([eE][+-]?digits)?
+    // ASCII digits only — Char.isDigit accepts Unicode digit classes that
+    // Double/Long parsing rejects, turning invalid JSON into crashes later
+    def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
     def isJsonNumber(s: String): Boolean = {
       var j = 0
       val m = s.length
       if (j < m && s.charAt(j) == '-') j += 1
       val d0 = j
-      while (j < m && s.charAt(j).isDigit) j += 1
+      while (j < m && isAsciiDigit(s.charAt(j))) j += 1
       if (j == d0) return false
+      // leading zeros are invalid JSON ("007"); a lone 0 is fine
+      if (s.charAt(d0) == '0' && j > d0 + 1) return false
       if (j < m && s.charAt(j) == '.') {
         j += 1
         val f0 = j
-        while (j < m && s.charAt(j).isDigit) j += 1
+        while (j < m && isAsciiDigit(s.charAt(j))) j += 1
         if (j == f0) return false
       }
       if (j < m && (s.charAt(j) == 'e' || s.charAt(j) == 'E')) {
         j += 1
         if (j < m && (s.charAt(j) == '+' || s.charAt(j) == '-')) j += 1
         val e0 = j
-        while (j < m && s.charAt(j).isDigit) j += 1
+        while (j < m && isAsciiDigit(s.charAt(j))) j += 1
         if (j == e0) return false
       }
       j == m
@@ -172,8 +180,12 @@ object JsonShape {
         case num if num.nonEmpty && isJsonNumber(num) =>
           if (num.exists(c => c == '.' || c == 'e' || c == 'E')) ("Float", num)
           // integers beyond int64 follow the reference's simdjson behavior:
-          // they parse as doubles, i.e. Float nodes
-          else if (num.toLongOption.isDefined) ("Integer", num)
+          // they parse as doubles, i.e. Float nodes. Integer nodes guarantee
+          // a CANONICAL literal (value == value.toLong.toString) so encoders
+          // may round-trip through Long — the one non-canonical survivor of
+          // the strict grammar, "-0", types as Float (it is an IEEE concept;
+          // Float keeps the exact literal text)
+          else if (num.toLongOption.exists(_.toString == num)) ("Integer", num)
           else ("Float", num)
         case bad => err(s"invalid scalar '$bad'")
       }
@@ -207,6 +219,10 @@ object JsonShape {
               if (key.exists(c => c == '.' || c == ';' || c == ':' ||
                   c == '[' || c == ']' || c == '{' || c == '}' || c == ','))
                 err(s"unsupported key character in '$key'")
+              // an empty key aliases too: {"":{"a":1}} would flatten to the
+              // same "a" path as {"a":1}, and a trailing empty segment is
+              // dropped by split('.') on reconstruction
+              if (key.isEmpty) err("unsupported empty key")
               ws()
               if (i >= n || json.charAt(i) != ':') err("expected ':'")
               i += 1

@@ -40,10 +40,12 @@ object KvIr {
   final val TagNode: Byte = 0x01
   final val TagEvent: Byte = 0x02
 
-  /** Node-type wire bytes, index = byte value. */
+  /** Node-type wire bytes, index = byte value (append-only: existing byte
+    * assignments are wire format). */
   final val Types: Vector[String] = Vector(
     "Integer", "Float", "Boolean", "NullValue", "VarString", "ClpString",
-    "UnstructuredArray", "Object", "FormattedFloat", "DictionaryFloat")
+    "UnstructuredArray", "Object", "FormattedFloat", "DictionaryFloat",
+    "DateString", "StructuredArray")
   private val TypeIx: Map[String, Int] = Types.zipWithIndex.toMap
 
   final case class CorruptStream(msg: String) extends RuntimeException(msg)
@@ -73,7 +75,11 @@ object KvIr {
     val ltIds = new java.util.HashMap[String, Integer]()
     val it = events.iterator
     while (it.hasNext) {
-      val leavesList = it.next()
+      // structurize child leaves ([] path segments) are value-less TYPE
+      // markers with no JSON content of their own — the array node carries
+      // the full raw text; an Integer-typed marker would otherwise crash
+      // "".toLong below. (Real keys cannot contain '[': JsonShape refuses.)
+      val leavesList = it.next().filterNot(_.path.contains("[]"))
       // schema-tree deltas first: any unseen (path, type) node
       leavesList.foreach { l =>
         val key = (l.path, l.nodeType)
@@ -103,7 +109,8 @@ object KvIr {
             out.write((f >> 8) & 0xff); out.write(f & 0xff)
           case "Boolean" => out.write(if (l.value == "true") 1 else 0)
           case "NullValue" | "Object" => ()
-          case "VarString" | "UnstructuredArray" => writeStr(out, l.value)
+          case "VarString" | "UnstructuredArray" | "DateString" | "StructuredArray" =>
+            writeStr(out, l.value)
           case "ClpString" =>
             val enc = ClpEncoding.encode(l.value)
             val ref = ltIds.get(enc.logtype)
@@ -190,12 +197,18 @@ object KvIr {
           if (t >= Types.length) err(s"bad node type $t")
           nodes += ((str(), Types(t)))
         case 0x02 =>
-          val nPairs = varint().toInt
+          // validate BEFORE narrowing: a 2^32+5 pair count would truncate to
+          // 5 and silently under-read (each pair is ≥1 byte, so remaining
+          // bytes bound the honest maximum)
+          val nPairs64 = varint()
+          if (nPairs64 < 0 || nPairs64 > (n - i).toLong) err(s"bad pair count $nPairs64")
+          val nPairs = nPairs64.toInt
           val pairs = List.newBuilder[JsonShape.Leaf]
           var p = 0
           while (p < nPairs) {
-            val nid = varint().toInt
-            if (nid >= nodes.length) err(s"bad node id $nid")
+            val nid64 = varint()
+            if (nid64 < 0 || nid64 >= nodes.length.toLong) err(s"bad node id $nid64")
+            val nid = nid64.toInt
             val (path, tpe) = nodes(nid)
             val value = tpe match {
               case "Integer" => zigzag().toString
@@ -209,13 +222,16 @@ object KvIr {
               case "Boolean" => if (u8() != 0) "true" else "false"
               case "NullValue" => "null"
               case "Object" => "{}"
-              case "VarString" | "UnstructuredArray" => str()
+              case "VarString" | "UnstructuredArray" | "DateString" | "StructuredArray" =>
+                str()
               case "ClpString" =>
                 val k = varint()
                 val lt =
                   if (k == 0) { val t0 = str(); lts += t0; t0 }
                   else {
-                    if (k - 1 >= lts.length) err(s"bad logtype ref ${k - 1}")
+                    // k is unsigned on the wire; a 10-byte varint can land
+                    // negative here and would pass `< length` unchecked
+                    if (k < 0 || k - 1 >= lts.length.toLong) err(s"bad logtype ref ${k - 1}")
                     lts((k - 1).toInt)
                   }
                 val encVars = scala.collection.mutable.ArrayBuffer.empty[Long]

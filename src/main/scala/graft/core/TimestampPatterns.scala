@@ -140,7 +140,10 @@ object TimestampPatterns {
       val pc = pattern.charAt(p)
       if (pc == '%' && p + 1 < pattern.length) {
         pattern.charAt(p + 1) match {
-          case 'Y' => val v = digits(4); if (v < 0) return None; y = v
+          // reject pre-epoch years instead of matching: toEpochMs is defined
+          // on 1970+, and a "match" it cannot represent would silently
+          // rewrite the line on reconstruction (1969-12-31 → 1970-12-31)
+          case 'Y' => val v = digits(4); if (v < 1970) return None; y = v
           // two-digit pivot; 69 maps forward (the engine is defined on
           // epoch >= 0, i.e. years 1970-2099)
           case 'y' => val v = digits(2); if (v < 0) return None
@@ -165,7 +168,10 @@ object TimestampPatterns {
             }
             i += 2
           case 'M' => val v = digits(2); if (v < 0 || v > 59) return None; mi = v
-          case 'S' => val v = digits(2); if (v < 0 || v > 60) return None; s = v
+          // :60 (leap second) is rejected, not matched: epoch ms has no
+          // representation for it, so format() would render the NEXT minute
+          // and break the byte-exact reconstruction contract
+          case 'S' => val v = digits(2); if (v < 0 || v > 59) return None; s = v
           case '3' => val v = digits(3); if (v < 0) return None; ms = v
           case 'b' =>
             if (i + 3 > msg.length) return None
@@ -212,6 +218,12 @@ object TimestampPatterns {
       }
     }
     if (relativeMs >= 0) return Some((relativeMs, i))
+    // day-in-month validation: Feb 31 would otherwise "match" and roll into
+    // March via the cumulative-days arithmetic, reformatting as a different
+    // date — reject so the line stays unmatched and byte-preserved
+    val dim = if (mo == 2) { if (isLeap(y)) 29 else 28 }
+      else if (mo == 4 || mo == 6 || mo == 9 || mo == 11) 30 else 31
+    if (d > dim) return None
     if (is12h) {
       // 12 AM = 0h; PMs other than 12 add 12 (reference :712-725)
       if (h == 12) { if (!isPm) h = 0 } else if (isPm) h += 12

@@ -89,6 +89,11 @@ object JsonPipeline {
         .map(java.lang.Long.valueOf).orNull
       val shapes = ls.iterator
         .filter(l => l.nodeType == "UnstructuredArray" || l.nodeType == "StructuredArray")
+        // structurize child leaves ([] path segments) are value-less type
+        // markers — a nested array among them would feed shapeOf("") and
+        // crash; the array node itself already carries the full raw text,
+        // so its shape covers every nested element
+        .filterNot(_.path.contains("[]"))
         .map(l => s"${l.path}=${JsonShape.shapeOf(l.value)}")
         .mkString("\u0001")
       (descriptor, ts, shapes)

@@ -29,7 +29,7 @@ class FloatFormatSpec extends AnyFunSuite {
 
   test("retain mode types floats as Formatted vs Dictionary (JsonParser rule)") {
     val leaves = JsonShape.typedLeaves(
-      """{"a":1.500,"b":00.5,"c":2.5e-4,"d":3.5}""", retainFloatFormat = true)
+      """{"a":1.500,"b":1.23456789012345678901,"c":2.5e-4,"d":3.5}""", retainFloatFormat = true)
     assert(leaves.map(l => l.path -> l.nodeType) == List(
       "a" -> "FormattedFloat", "b" -> "DictionaryFloat",
       "c" -> "FormattedFloat", "d" -> "FormattedFloat"))
@@ -39,7 +39,7 @@ class FloatFormatSpec extends AnyFunSuite {
 
   test("kv-IR carries FormattedFloat as (double, word) and DictionaryFloat as text") {
     val ev = JsonShape.typedLeaves(
-      """{"a":1.500,"b":00.5,"m":"x y z"}""", retainFloatFormat = true)
+      """{"a":1.500,"b":1.23456789012345678901,"m":"x y z"}""", retainFloatFormat = true)
     assert(KvIr.deserialize(KvIr.serialize(Seq(ev))) == Vector(ev))
   }
 

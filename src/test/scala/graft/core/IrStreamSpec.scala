@@ -67,6 +67,19 @@ class IrStreamSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IrStream.deserialize(bad).toVector)
   }
 
+  test("truncated streams fail loudly at every cut point, never silently") {
+    val good = IrStream.serialize(Seq(
+      IrStream.IrEvent(5L, ClpEncoding.encode("job a1b2c3 took 1.5 ms")),
+      IrStream.IrEvent(9L, ClpEncoding.encode("done with status=ok"))))
+    // any prefix that still passes the magic check must either parse a
+    // strict prefix of the events AND throw, or throw immediately — a
+    // truncated stream (missing EOS) can never be mistaken for complete
+    for (cut <- IrStream.Magic.length + 1 until good.length) {
+      intercept[IllegalArgumentException](
+        IrStream.deserialize(good.take(cut)).toVector)
+    }
+  }
+
   test("compactness: IR stream is smaller than the raw text for typical logs") {
     val msgs = (0 until 1000).map(i =>
       (1700000000000L + i * 250L,

@@ -58,6 +58,33 @@ class JsonShapeSpec extends AnyFunSuite {
     intercept[JsonShape.ParseError](JsonShape.leaves("""{"a;b":1}"""))
   }
 
+  test("number strictness: leading zeros and unicode digits refuse; -0 stays literal") {
+    // JSON grammar forbids leading zeros; Char.isDigit lookalikes (Unicode
+    // digit classes) would pass typing but crash Double/Long parsing later
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"a":007}"""))
+    intercept[JsonShape.ParseError](JsonShape.leaves("{\"a\":1٥}"))
+    intercept[JsonShape.ParseError](JsonShape.leaves("{\"a\":1.٥}"))
+    assert(JsonShape.leaves("""{"a":0}""") == List("a" -> "Integer"))
+    assert(JsonShape.leaves("""{"a":-10}""") == List("a" -> "Integer"))
+    // "-0" has no canonical long rendering — it types Float (literal-text
+    // channel), so every encoder round-trips it byte-exactly
+    val neg0 = JsonShape.typedLeaves("""{"a":-0}""")
+    assert(neg0 == List(JsonShape.Leaf("a", "Float", "-0")))
+    assert(JsonShape.reserialize(neg0) == """{"a":-0}""")
+  }
+
+  test("empty keys refuse: they alias distinct structures") {
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"":1}"""))
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"":{"a":1}}"""))
+    intercept[JsonShape.ParseError](JsonShape.leaves("""{"a":{"":1}}"""))
+  }
+
+  test("truncated input raises ParseError on every path, never an index error") {
+    for (s <- Seq("{", "[", "[1,", """{"a":[""", """{"a":{"b":1""",
+        """["x"""", """{"a":[1 """, """{"a":[{"b"""", """["""))
+      intercept[JsonShape.ParseError](JsonShape.typedLeaves(s))
+  }
+
   test("integers beyond int64 type as Float (simdjson double behavior)") {
     assert(JsonShape.leaves("""{"n":99999999999999999999}""") == List("n" -> "Float"))
     assert(JsonShape.leaves(s"""{"n":${Long.MaxValue}}""") == List("n" -> "Integer"))

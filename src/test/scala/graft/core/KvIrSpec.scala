@@ -48,5 +48,27 @@ class KvIrSpec extends AnyFunSuite {
     intercept[KvIr.CorruptStream](KvIr.deserialize(Array[Byte]('X', 'K', 'V', '1', 0)))
     val good = KvIr.serialize(Seq(ev1))
     intercept[KvIr.CorruptStream](KvIr.deserialize(good.dropRight(3)))
+    // oversized pair count: must err aligned, not truncate-to-int and misread
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(KvIr.Magic); out.write(KvIr.TagNode); out.write(0) // Integer node
+    out.write(1); out.write('a')                                 // path "a"
+    out.write(KvIr.TagEvent)
+    // varint 2^41-ish pair count (would truncate toInt without the guard)
+    Seq(0xff, 0xff, 0xff, 0xff, 0xff, 0x7f).foreach(out.write)
+    out.write(KvIr.TagEos)
+    intercept[KvIr.CorruptStream](KvIr.deserialize(out.toByteArray))
+  }
+
+  test("DateString and StructuredArray leaves ride the wire") {
+    val ev = JsonShape.typedLeaves(
+      """{"ts":"2024-01-02 03:04:00","arr":[[1],{"k":2}],"msg":"a b c"}""",
+      timestampKey = Some("ts"), structurizeArrays = true)
+    val back = KvIr.deserialize(KvIr.serialize(Seq(ev))).head
+    // value-less [] type markers are schema artifacts, dropped on the wire;
+    // every value-bearing leaf round-trips exactly and the record
+    // reconstructs byte-for-byte (reserialize skips [] markers identically)
+    assert(back == ev.filterNot(_.path.contains("[]")))
+    assert(JsonShape.reserialize(back) ==
+      """{"ts":"2024-01-02 03:04:00","arr":[[1],{"k":2}],"msg":"a b c"}""")
   }
 }

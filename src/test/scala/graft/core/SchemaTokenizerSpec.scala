@@ -109,6 +109,24 @@ class TimestampPatternsSpec extends AnyFunSuite {
     assert(Patterns(h25.patternId).fmt == "%#3" && h25.end == 4)
   }
 
+  test("round-trip-unsafe timestamps are rejected by the date patterns") {
+    // pre-1970 years, leap seconds, and impossible days-of-month have no
+    // epoch-ms representation that formats back byte-exactly — matching them
+    // would silently rewrite the line on reconstruction. They fall through
+    // to the %#3 digit fallback (same as month-13 above), which DOES
+    // round-trip its own span
+    for (s <- Seq("1969-12-31 23:59:59", "2015-06-30 23:59:60",
+        "2015-02-31 10:00:00", "2015-04-31 10:00:00")) {
+      val Some(m) = searchFull(s)
+      assert(Patterns(m.patternId).fmt == "%#3", s"date pattern wrongly matched '$s'")
+      assert(format(m.patternId, m.epochMs) == s.substring(m.begin, m.end))
+    }
+    // the valid neighbors still match full date patterns
+    assert(search("1970-01-01 00:00:00").exists(_._2 == 0L))
+    assert(search("2016-02-29 23:59:59").isDefined) // leap-year Feb 29
+    assert(search("2015-06-30 23:59:59").isDefined)
+  }
+
   test("epoch math agrees with java.time") {
     for (s <- Seq("2015-01-31 15:50:45", "2024-02-29 00:00:00", "1999-12-31 23:59:59")) {
       val Some((_, epoch, _)) = search(s)

@@ -202,6 +202,30 @@ class JsonPipelineSpec extends SparkSpecBase {
       """{"idx":9,"arr":[{"c":5}]}"""))
   }
 
+  test("structurize-arrays: nested arrays and object elements route end-to-end") {
+    // the child type markers of a structurized array are value-less; a
+    // nested array among them must not be fed to the shape parser
+    val dir = Files.createTempDirectory("graft-jsonl-nested").toString
+    val recs = Seq(
+      """{"a":[[1,2],[3]],"name":"x"}""",
+      """{"a":[[4]],"name":"y"}""").toDF("json")
+    val res = JsonPipeline.route(spark, recs, "json", dir,
+      options = JsonPipeline.Options(structurizeArrays = true))
+    assert(res.nRecords == 2)
+    // the derived table schema types the nested array without inference
+    val schemaIds = JsonPipeline.schemasWithPath(spark, dir, "name")
+    assert(schemaIds.size == 1)
+    val tbl = JsonPipeline.table(spark, dir, schemaIds.head)
+    assert(tbl.count() == 2)
+    assert(tbl.schema("a").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    val hits = JsonPipeline.kqlSearch(spark, dir, """name: "y"""", Seq("a"))
+      .collect()
+    assert(hits.length == 1)
+  }
+
   test("KQL schema pruning happens on the driver: plan size is O(matching schemas)") {
     // 200 distinct schemas, exactly one of which carries the queried path —
     // the analyzed plan must contain ONE record scan, not 200 union branches
