@@ -34,7 +34,11 @@ object ClpCatalog {
     */
   def ingest(spark: SparkSession, turns: DataFrame, sliceCol: Column,
              outDir: String, maxSinks: Int = 8, saltParts: Int = 8): Unit = {
-    val sliced = turns.withColumn("_slice", sliceCol.cast("string"))
+    // a null slice value (e.g. a null ts through a date-truncation slice)
+    // must not NPE the sort or silently match no rows in the === filter
+    // below — it routes to its own named archive, losslessly
+    val sliced = turns.withColumn("_slice",
+      coalesce(sliceCol.cast("string"), lit("null")))
     val slices = sliced.select("_slice").distinct()
       .collect().map(_.getString(0)).sorted
     slices.foreach { sl =>
@@ -72,8 +76,12 @@ object ClpCatalog {
                          tsLo: Option[java.sql.Timestamp],
                          tsHi: Option[java.sql.Timestamp]): Seq[String] =
     entries(spark, outDir).collect {
+      // null bounds (an archive whose turns all lack timestamps) cannot be
+      // pruned by time — such an archive is always admissible, same as the
+      // sink-level rule in ClpSearch
       case (id, b, e)
-          if tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi)) => id
+          if b == null || e == null ||
+            (tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi))) => id
     }.toSeq
 
   /** Cross-archive search: catalog-pruned per-archive plans, one union —

@@ -218,7 +218,10 @@ object ClpPipeline {
    */
   def encodeAndEnrich(parsed: DataFrame, logtypeDict: DataFrame, varDict: DataFrame,
                       lookup: DataFrame, cfg: Config = Config("")): DataFrame = {
-    val nDict = math.max(logtypeDict.count(), varDict.count())
+    // broadcast mode holds BOTH dictionaries as driver maps, so the budget
+    // gate is their SUM — the same gate buildDictsFused uses (a max gate
+    // would admit two threshold-sized dicts, twice the budget)
+    val nDict = logtypeDict.count() + varDict.count()
     if (nDict <= cfg.driverDictThreshold)
       encodeAndEnrichBroadcast(parsed, logtypeDict, varDict, lookup)
     else
@@ -490,25 +493,31 @@ object ClpPipeline {
     val statsDone = cfg.resume && lineage.isComplete("stats")
     if (!statsDone) {
       val t0 = System.nanoTime()
-      // one scan for both granularities: rollup (sink_id, bucket) emits the
-      // per-bucket lineage rows AND the per-sink subtotals in a single
-      // partial/final aggregation
-      val rolled = routed
+      // one scan for both granularities: aggregate at (sink_id, bucket) once
+      // with MERGEABLE sketches, then roll the bucket rows (sink-count-sized)
+      // up to the per-sink stats — unlike rollup(), whose Expand duplicates
+      // every input row per grouping set, the data is scanned exactly once
+      val bucketed = routed
         .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(cfg.filesPerSink)))
-        .rollup(col("sink_id"), col("bucket"))
+        .groupBy(col("sink_id"), col("bucket"))
         .agg(count(lit(1)).as("n_rows"),
-          approx_count_distinct(col("conv_id")).as("n_convs_approx"),
+          hll_sketch_agg(col("conv_id")).as("_conv_sk"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
           sum(col("n_bytes")).as("n_bytes"),
-          approx_count_distinct(col("logtype_id")).as("n_logtypes_approx"))
+          hll_sketch_agg(col("logtype_id")).as("_lt_sk"))
         .cache()
-      rolled.filter(col("sink_id").isNotNull && col("bucket").isNull)
-        .drop("bucket")
+      bucketed.groupBy(col("sink_id"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          hll_sketch_estimate(hll_union_agg(col("_conv_sk"))).as("n_convs_approx"),
+          min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
+          sum(col("n_bytes")).as("n_bytes"),
+          hll_sketch_estimate(hll_union_agg(col("_lt_sk"))).as("n_logtypes_approx"))
+        .select("sink_id", "n_rows", "n_convs_approx", "min_ts", "max_ts",
+          "n_bytes", "n_logtypes_approx")
         .write.mode("overwrite").parquet(s"${cfg.outDir}/sink_stats")
-      rolled.filter(col("sink_id").isNotNull && col("bucket").isNotNull)
-        .select("sink_id", "bucket", "n_rows", "n_bytes")
+      bucketed.select("sink_id", "bucket", "n_rows", "n_bytes")
         .write.mode("overwrite").parquet(s"${cfg.outDir}/lineage_partitions")
-      rolled.unpersist()
+      bucketed.unpersist()
       lineage.complete("stats", Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
     }
 

@@ -73,7 +73,10 @@ object JsonPipeline {
     case "Integer" =>
       value.toLongOption.map(v => if (math.abs(v) >= 1000000000000L) v else v * 1000L)
     case "Float" | "FormattedFloat" | "DictionaryFloat" =>
-      value.toDoubleOption.map(v => (v * 1000.0).toLong)
+      // the same millis-vs-seconds heuristic as Integer — a float epoch-ms
+      // value multiplied again would land the range index off by 1000x
+      value.toDoubleOption.map(v =>
+        if (math.abs(v) >= 1.0e12) v.toLong else (v * 1000.0).toLong)
     case _ => None
   }
 
@@ -87,6 +90,19 @@ object JsonPipeline {
       val ts: java.lang.Long = timestampKey.flatMap(k =>
         ls.find(_.path == k).flatMap(l => parseTs(l.nodeType, l.value)))
         .map(java.lang.Long.valueOf).orNull
+      // the archive stores keyed columns: a root that is not a non-empty
+      // object has no column name to live under and would be silently
+      // unqueryable (the reference wraps such roots under an unnamed root
+      // node, JsonParser.cpp:437-470 — documented divergence: we refuse).
+      // '$'-prefixed and log_event_idx top-level keys collide with the
+      // archive's own metadata columns in every search frame — reserved.
+      if (ls.headOption.exists(_.path.isEmpty))
+        throw JsonShape.ParseError("root must be a non-empty JSON object", 0)
+      ls.foreach { l =>
+        val head = l.path.takeWhile(_ != '.')
+        if (head.startsWith("$") || head == "log_event_idx")
+          throw JsonShape.ParseError(s"reserved top-level key '$head'", 0)
+      }
       val shapes = ls.iterator
         .filter(l => l.nodeType == "UnstructuredArray" || l.nodeType == "StructuredArray")
         // structurize child leaves ([] path segments) are value-less type
@@ -215,7 +231,10 @@ object JsonPipeline {
         pmod(xxhash64(col("log_event_idx")), lit(options.filesPerSchema.max(1))))
       .sortWithinPartitions("schema_id", "log_event_idx")
       .write.partitionBy("schema_id").mode("overwrite").parquet(s"$outDir/records")
-    val shaped = spark.read.parquet(s"$outDir/records")
+    // read back with the KNOWN schema: an empty corpus writes no part files,
+    // and schema inference over zero files would crash; everything downstream
+    // then flows through to an empty (but valid) archive
+    val shaped = spark.read.schema(shaped0.schema).parquet(s"$outDir/records")
 
     // ONE aggregation builds the whole catalog: SchemaMap counts, the
     // TimestampEntry min/max range index, and the merged element shapes
@@ -256,15 +275,12 @@ object JsonPipeline {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/range_index")
     } else {
       // a metadata-free re-route over a dir that HAD metadata must not leave
-      // the previous ingest's index describing the overwritten records
-      val idx = new java.io.File(s"$outDir/range_index")
-      if (idx.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(idx)
-      }
+      // the previous ingest's index describing the overwritten records —
+      // through the Hadoop FS, same as kqlSearch's existence check (a
+      // java.io.File would miss s3a:// and file:/ outDirs entirely)
+      val riPath = new org.apache.hadoop.fs.Path(s"$outDir/range_index")
+      val fs = riPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(riPath)) fs.delete(riPath, true)
     }
 
     // MPT leaves: union of every schema's leaf set; deterministic dense node
@@ -375,6 +391,11 @@ object JsonPipeline {
     val hasTsFilter = tsLo.isDefined || tsHi.isDefined
 
     val fullCatalog = loadCatalog(spark, outDir)
+    // an EMPTY archive wrote no record part files — nothing to read a schema
+    // from; answer the typed empty result directly
+    if (fullCatalog.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(selectCols.filterNot(_.contains("*")).map(c => StructField(c, StringType))))
     val records = spark.read.parquet(s"$outDir/records")
     val metaCols = records.columns.filter(_.startsWith("$")).toSeq
     val metaFieldsOut = metaCols.map(records.schema(_))

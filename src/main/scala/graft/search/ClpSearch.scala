@@ -154,8 +154,11 @@ final class ClpSearch(spark: SparkSession, outDir: String,
                                 tsHi: Option[java.sql.Timestamp]): Option[Set[Int]] =
     if (tsLo.isEmpty && tsHi.isEmpty) None
     else sinkTsBounds.map(_.collect {
+      // null bounds (a sink whose rows all lack timestamps) cannot be pruned
+      // by time: always admissible — the per-row ts predicate still applies
       case (sid, mn, mx)
-          if tsLo.forall(lo => !mx.before(lo)) && tsHi.forall(hi => !mn.after(hi)) => sid
+          if mn == null || mx == null ||
+            (tsLo.forall(lo => !mx.before(lo)) && tsHi.forall(hi => !mn.after(hi))) => sid
     }.toSet)
 
   /** Core: candidate rows for a query, in the encoded domain; `None` when the

@@ -69,11 +69,13 @@ final class StreamingPipeline(spark: SparkSession, outDir: String,
       new java.io.File(s"$ltDictPath/_SUCCESS").exists()
     // cheap cardinality gate BEFORE anything dict-sized is materialized —
     // parquet row counts come from footers, no scan
+    // SUM, not max: driver mode holds both dictionaries as driver maps —
+    // the same budget semantics as the batch pipeline's gates
     val dictCount: Long = dictState match {
-      case Some((v, l)) => math.max(v.size.toLong, l.size.toLong)
+      case Some((v, l)) => v.size.toLong + l.size.toLong
       case None if haveDicts =>
-        math.max(spark.read.parquet(varDictPath).count(),
-          spark.read.parquet(ltDictPath).count())
+        spark.read.parquet(varDictPath).count() +
+          spark.read.parquet(ltDictPath).count()
       case None => 0L
     }
 

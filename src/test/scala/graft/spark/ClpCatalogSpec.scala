@@ -59,6 +59,26 @@ class ClpCatalogSpec extends SparkSpecBase {
     assert(ClpCatalog.search(spark, out, "*").count() == 0)
   }
 
+  test("null slice values and null ts bounds neither crash nor lose rows") {
+    // two turns with a null ts: the slice expression evaluates to null, and
+    // the resulting archive has null catalog bounds
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-null").toString
+    val withNulls = turns.limit(20).unionByName(
+      turns.limit(2).withColumn("ts", lit(null).cast("timestamp")))
+    ClpCatalog.ingest(spark, withNulls,
+      date_trunc("minute", col("ts")).cast("string"), out)
+    val cat = spark.read.parquet(s"$out/catalog").collect()
+    assert(cat.map(_.getAs[Long]("n_messages")).sum == 22)
+    // the null-slice archive exists and its bounds are null
+    val nullArch = cat.find(r => r.isNullAt(r.fieldIndex("begin_ts")))
+    assert(nullArch.isDefined, s"no null-bounds archive in ${cat.toSeq}")
+    // a time-bounded search must not NPE, and the null-bounds archive stays
+    // admissible (its rows can't be pruned by a time index it doesn't have)
+    assert(ClpCatalog.admissibleArchives(spark, out, Some(ts(0)), Some(ts(5)))
+      .contains(nullArch.get.getAs[String]("archive_id")))
+    assert(ClpCatalog.search(spark, out, "* code=c1*", tsLo = Some(ts(0))).count() >= 0)
+  }
+
   test("cross-archive union search equals one archive over the whole corpus") {
     val single = java.nio.file.Files.createTempDirectory("graft-cat-one").toString
     graft.pipeline.ClpPipeline.run(spark, turns,

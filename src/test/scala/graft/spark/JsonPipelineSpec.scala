@@ -397,6 +397,44 @@ class JsonPipelineSpec extends SparkSpecBase {
     assert(JsonPipeline.kqlSearch(spark, dir, "id: 2", Seq("id")).count() == 1)
   }
 
+  test("an empty corpus routes to a valid empty archive; searches answer zero rows") {
+    val dir = Files.createTempDirectory("graft-jsonl-empty").toString
+    val res = JsonPipeline.route(spark, Seq.empty[String].toDF("json"), "json", dir)
+    assert(res.nRecords == 0 && res.nSchemas == 0)
+    assert(JsonPipeline.kqlSearch(spark, dir, "a: 1", Seq("a")).count() == 0)
+  }
+
+  test("float timestamp keys get the same millis-vs-seconds heuristic as integers") {
+    val dir = Files.createTempDirectory("graft-jsonl-fts").toString
+    // one record with epoch SECONDS as a float, one with epoch MILLIS
+    val recs = Seq(
+      """{"id":0,"ts":1704067200.5}""",
+      """{"id":1,"ts":1704067300000.0}""").toDF("json")
+    JsonPipeline.route(spark, recs, "json", dir,
+      options = JsonPipeline.Options(timestampKey = Some("ts")))
+    val byId = spark.read.parquet(s"$dir/records")
+      .select(col("log_event_idx"), col("`$_ts`")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == 1704067200500L)
+    assert(byId(1L) == 1704067300000L)
+  }
+
+  test("non-object roots and reserved top-level keys refuse at ingest") {
+    def routeOf(json: String): Unit = {
+      val dir = Files.createTempDirectory("graft-jsonl-bad").toString
+      JsonPipeline.route(spark, Seq(json).toDF("json"), "json", dir)
+    }
+    // silently-unqueryable shapes must fail loudly instead
+    for (bad <- Seq("5", "\"x\"", "[1,2]", "{}",
+        """{"$_ts":"x","a":1}""", """{"log_event_idx":9,"a":1}"""))
+      intercept[org.apache.spark.SparkException](routeOf(bad))
+    // nested $-keys are NOT reserved (only top level collides with metadata)
+    val ok = Files.createTempDirectory("graft-jsonl-okkey").toString
+    val res = JsonPipeline.route(spark,
+      Seq("""{"a":{"$weird":1}}""").toDF("json"), "json", ok)
+    assert(res.nRecords == 1)
+  }
+
   test("chunked extraction writes ordered chunk files with a contiguous manifest") {
     val dir = Files.createTempDirectory("graft-jsonl-chunk").toString
     val originals = Seq.tabulate(23)(i => s"""{"n":$i,"msg":"event number $i"}""")
