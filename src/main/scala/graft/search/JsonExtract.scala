@@ -61,21 +61,29 @@ object JsonExtract {
       .agg(min("log_event_idx").as("first"), max("log_event_idx").as("last"))
       .orderBy("chunk").collect()
     recs.unpersist()
+    // chunk renames + staging cleanup through the Hadoop FS — the write went
+    // through it, and java.io.File silently no-ops on s3a://, hdfs://, or
+    // file:/ outDirs (the chunk count here is manifest-sized, never data)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = manifest.toSeq.map { r =>
       val (chunk, first, last) = (r.getLong(0), r.getLong(1), r.getLong(2) + 1)
-      val dir = new java.io.File(s"$staging/chunk=$chunk")
-      val part = dir.listFiles().filter(_.getName.startsWith("part-"))
+      val dir = new org.apache.hadoop.fs.Path(s"$staging/chunk=$chunk")
+      val part = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("part-"))
       require(part.length == 1, s"expected one file per chunk, got ${part.length}")
-      val target = new java.io.File(s"$outDir/${archiveId}_${first}_$last.jsonl")
-      require(part(0).renameTo(target), s"rename failed for chunk $chunk")
-      (target.getPath, first, last)
+      val target = new org.apache.hadoop.fs.Path(
+        s"$outDir/${archiveId}_${first}_$last.jsonl")
+      require(fs.rename(part(0), target), s"rename failed for chunk $chunk")
+      // a checksummed local FS renames the .crc sidecar along — the chunk
+      // contract is "only the manifest's files in outDir", so drop it
+      val crc = new org.apache.hadoop.fs.Path(
+        target.getParent, s".${target.getName}.crc")
+      if (fs.exists(crc)) fs.delete(crc, false)
+      (target.toString, first, last)
     }
     // drop staging remnants (partition dirs + _SUCCESS)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(staging))
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     out
   }
 }

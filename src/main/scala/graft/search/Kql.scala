@@ -67,7 +67,11 @@ object Kql {
         var closed = false
         while (i < n && !closed) {
           val qc = s.charAt(i)
-          if (qc == '\\' && i + 1 < n && s.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
+          // \\ must consume as a pair (kept escaped for unescapeValue), or a
+          // value ending in an escaped backslash would read \" as an escaped
+          // quote and swallow the real string terminator
+          if (qc == '\\' && i + 1 < n && s.charAt(i + 1) == '\\') { sb.append("\\\\"); i += 2 }
+          else if (qc == '\\' && i + 1 < n && s.charAt(i + 1) == '"') { sb.append('"'); i += 2 }
           else if (qc == '"') { closed = true; i += 1 }
           else { sb.append(qc); i += 1 }
         }
@@ -186,8 +190,10 @@ object Kql {
               case _ => Left(s"expected value after '$raw $op'")
             }
           case _ =>
-            // bare value expression: matches any column
-            Right(Filter(Nil, Eq, raw))
+            // bare value expression: matches any column — scoped UNDER the
+            // nested-query prefix when inside one (a: {foo} must not match
+            // foo in unrelated columns; the trailing '*' spans the subtree)
+            Right(Filter(if (prefix.isEmpty) Nil else prefix :+ "*", Eq, raw))
         }
       case other => Left(s"unexpected token $other")
     }

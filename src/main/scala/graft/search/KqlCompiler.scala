@@ -41,7 +41,18 @@ object KqlCompiler {
   private final case class ArrayElem(arrPath: Seq[String], dt: DataType) extends Leaf
 
   /** All addressable leaves of a schema, with their logical dotted paths. */
+  // memoized per schema: nnf calls this for EVERY Filter leaf, and
+  // kqlSearch compiles the same expression against O(catalog) schemas — a
+  // 20-leaf query over 200 schemas would otherwise walk schemas 4000 times.
+  // Bounded: cleared wholesale if an unusually diverse catalog fills it.
+  private val leavesCache =
+    new java.util.concurrent.ConcurrentHashMap[StructType, Seq[(Seq[String], Leaf)]]()
   private def leaves(schema: StructType): Seq[(Seq[String], Leaf)] = {
+    if (leavesCache.size > 20000) leavesCache.clear()
+    leavesCache.computeIfAbsent(schema, computeLeaves(_))
+  }
+
+  private def computeLeaves(schema: StructType): Seq[(Seq[String], Leaf)] = {
     def walk(st: StructType, prefix: Seq[String], arr: Option[Seq[String]])
         : Seq[(Seq[String], Leaf)] =
       st.fields.toSeq.flatMap { f =>
@@ -248,9 +259,23 @@ object KqlCompiler {
         // that COULD match `$_ts` (itself, or a wildcard like `$*`) must
         // skip the rewrite entirely: restricting such a filter to entry
         // hits would drop rows that match via the $_ts leaf.
+        // the rewrite is sound only when RangeIndex.satisfies mirrors every
+        // matched leaf's row semantics exactly: string + numeric. Boolean
+        // (case-insensitive parse) and timestamp (to_timestamp parse) row
+        // predicates compare differently from the entry's stored string, so
+        // an entry could be wrongly excluded — skip the rewrite there
+        def satisfiesDecidable(l: Leaf): Boolean = {
+          val dt = l match {
+            case Scalar(_, d) => d
+            case ArrayField(_, _, d) => d
+            case ArrayElem(_, d) => d
+          }
+          dt == StringType || dt.isInstanceOf[NumericType]
+        }
         val base = rangeIndex match {
           case Some(entries)
               if pattern.length == 1 && pattern.head.startsWith("$") &&
+                matched.forall { case (_, l) => satisfiesDecidable(l) } &&
                 !Wildcard.matches("$_ts", Wildcard.cleanUp(pattern.head),
                   caseSensitive = true) =>
             val key = pattern.head
@@ -308,7 +333,9 @@ object KqlCompiler {
     val all = nodes(schema, Nil)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     patterns.foreach { pat =>
-      val segs = pat.split('.').toSeq
+      // the escape-aware split the filter path uses — a raw split('.') would
+      // break patterns addressing columns with escaped dots
+      val segs = Kql.splitColumn(pat)
       all.foreach { case (path, dt) =>
         if (namespaceOk(segs, path) && pathMatches(segs, path))
           out.getOrElseUpdate(path.mkString("."), dt)

@@ -73,33 +73,44 @@ object WildcardQueryCompiler {
     val constBuf = new java.lang.StringBuilder
     def flushConst(): Unit =
       if (constBuf.length > 0) { out += Const(constBuf.toString); constBuf.setLength(0) }
+    // after Wildcard.cleanUp the only escape pairs are \* \? \\ : an escaped
+    // wildcard is a LITERAL '*'/'?' — a delimiter in message space, so it
+    // stays constant pattern text — while an escaped backslash is a literal
+    // '\', a TOKEN char (ClpEncoding.isDelim('\\') is false), and must join
+    // the surrounding token run or tokens like "C:\dir1" become unfindable
+    def isEscBackslash(ix: Int): Boolean =
+      cleaned.charAt(ix) == '\\' && ix + 1 < n && cleaned.charAt(ix + 1) == '\\'
     while (i < n) {
       val c = cleaned.charAt(i)
-      val isTokenChar = !ClpEncoding.isDelim(c) || isWild(c)
-      if (c == '\\' && i + 1 < n) {
+      val isTokenChar = (c != '\\' && (!ClpEncoding.isDelim(c) || isWild(c))) ||
+        isEscBackslash(i)
+      if (c == '\\' && !isEscBackslash(i) && i + 1 < n) {
         constBuf.append(c).append(cleaned.charAt(i + 1))
         prevChar = cleaned.charAt(i + 1)
         i += 2
       } else if (!isTokenChar) {
         constBuf.append(c); prevChar = c; i += 1
       } else {
-        // scan the full run of token chars + wildcards
+        // scan the full run of token chars + wildcards + escaped backslashes
         val start = i
         var hasWild = false
         var hasDigit = false
         var hasAlpha = false
-        while (i < n && {
+        var more = true
+        while (i < n && more) {
           val tc = cleaned.charAt(i)
-          (tc != '\\') && (!ClpEncoding.isDelim(tc) || isWild(tc))
-        }) {
-          val tc = cleaned.charAt(i)
-          if (isWild(tc)) hasWild = true
-          else if (tc >= '0' && tc <= '9') hasDigit = true
-          else if ((tc >= 'a' && tc <= 'z') || (tc >= 'A' && tc <= 'Z')) hasAlpha = true
-          i += 1
+          if (tc == '\\') {
+            if (isEscBackslash(i)) i += 2 // literal '\': neither digit nor alpha
+            else more = false             // \* \? : literal delimiter → const
+          } else if (!ClpEncoding.isDelim(tc) || isWild(tc)) {
+            if (isWild(tc)) hasWild = true
+            else if (tc >= '0' && tc <= '9') hasDigit = true
+            else if ((tc >= 'a' && tc <= 'z') || (tc >= 'A' && tc <= 'Z')) hasAlpha = true
+            i += 1
+          } else more = false
         }
         val token = cleaned.substring(start, i)
-        val bare = token.filterNot(isWild)
+        val bare = Wildcard.unescape(token).filterNot(isWild)
         if (bare.isEmpty) {
           // pure wildcards between delimiters — plain pattern chars
           constBuf.append(token)
@@ -108,7 +119,7 @@ object WildcardQueryCompiler {
         } else {
           val isVar = hasDigit ||
             (prevChar == '=' && hasAlpha) ||
-            ClpEncoding.couldBeMultiDigitHex(token, 0, token.length)
+            ClpEncoding.couldBeMultiDigitHex(bare, 0, bare.length)
           if (isVar) { flushConst(); out += ExactVar(token) }
           else constBuf.append(token)
         }
@@ -129,14 +140,22 @@ object WildcardQueryCompiler {
                               dictScan: String => Seq[Long]): Seq[Interp] = {
     val out = ArrayBuffer.empty[Interp]
     val tok = t.token
-    val bare = tok.filterNot(isWild)
+    // tok may contain \\ escape pairs (literal backslashes); unescape before
+    // classifying the literal chars
+    val bare = Wildcard.unescape(tok).filterNot(isWild)
     val lead = if (tok.head == '*') "*" else ""
     val trail = if (tok.length > 1 && tok.last == '*') "*" else ""
     // (a) template text — only possible when the literal part carries no digit
     // (digit-bearing message tokens always become variables, never constants)
     if (!bare.exists(c => c >= '0' && c <= '9')) {
       val sb = new java.lang.StringBuilder
-      tok.foreach(c => if (isWild(c)) sb.append(c) else appendConstChar(c, sb))
+      var k = 0
+      while (k < tok.length) {
+        val c = tok.charAt(k)
+        if (c == '\\' && k + 1 < tok.length) { appendConstChar(tok.charAt(k + 1), sb); k += 2 }
+        else if (isWild(c)) { sb.append(c); k += 1 }
+        else { appendConstChar(c, sb); k += 1 }
+      }
       out += Interp(sb.toString, None)
     }
     // (b) dictionary variable: wildcard probe of the var dictionary (Q4)
@@ -182,13 +201,17 @@ object WildcardQueryCompiler {
     val exactResolved = scala.collection.mutable.Map.empty[String, (Char, Either[Long, Seq[Long]])]
     for (ExactVar(tok) <- pieces.collect { case e: ExactVar => e }) {
       if (!exactResolved.contains(tok)) {
-        ClpEncoding.tryEncodeInt(tok) match {
+        // tok is in cleaned (pattern) form; the dictionary holds LITERAL
+        // text, so \\ pairs unescape before any lookup (the scan path keeps
+        // the pattern form — Wildcard.matches interprets the escapes)
+        val lit = Wildcard.unescape(tok)
+        ClpEncoding.tryEncodeInt(lit) match {
           case Some(v) => exactResolved(tok) = ('i', Left(v))
-          case None => ClpEncoding.tryEncodeFloat(tok) match {
+          case None => ClpEncoding.tryEncodeFloat(lit) match {
             case Some(v) => exactResolved(tok) = ('f', Left(v))
             case None =>
               if (caseSensitive) {
-                varDictLookup(tok) match {
+                varDictLookup(lit) match {
                   case Some(id) => exactResolved(tok) = ('d', Left(id))
                   case None => return WontMatch
                 }
@@ -250,6 +273,28 @@ object WildcardQueryCompiler {
       SubPlan(pattern.toString, exactVars.toSeq, anyOf.toSeq)
     }
 
-    Plan(Compiled(cleaned, subplans, verifyText, matchAll = false))
+    // a pattern wildcard can absorb logtype PLACEHOLDERS: '?' may swallow a
+    // whole multi-char variable ("? cat" matching text "55 cat"), and '*'
+    // unanchors the var constraints (subseq_match is order-only, so
+    // "* cat 5" would admit "5 cat 7") — in both cases only the decoded-text
+    // match is sound (the reference's wildcard_match_required,
+    // GrepCore.hpp:379-390). Pure-wildcard runs between delimiters land in
+    // Const pieces, so wildTokens.nonEmpty alone does not cover this.
+    def unescapedWild(p: String, w: Char): Boolean = {
+      var k = 0
+      while (k < p.length) {
+        val c = p.charAt(k)
+        if (c == '\\') k += 2
+        else if (c == w) return true
+        else k += 1
+      }
+      false
+    }
+    val verify = verifyText || subplans.exists(p =>
+      unescapedWild(p.logtypePattern, '?') ||
+        (unescapedWild(p.logtypePattern, '*') &&
+          (p.exactVars.nonEmpty || p.anyOfVarSets.nonEmpty)))
+
+    Plan(Compiled(cleaned, subplans, verify, matchAll = false))
   }
 }

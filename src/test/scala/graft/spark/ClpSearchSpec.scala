@@ -40,6 +40,29 @@ class ClpSearchSpec extends SparkSpecBase {
     assert(got(engine.search(query, caseSensitive)) == exp, s"mismatch for '$query'")
   }
 
+  test("wildcards that can absorb placeholders are text-verified; backslash tokens resolve") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-search-fp").toString
+    val t0 = new java.sql.Timestamp(1704067200000L)
+    val rows = Seq(
+      graft.pipeline.Turn("c1", 0, "user", "5 cat 7", "t", t0),
+      graft.pipeline.Turn("c2", 0, "user", "9 cat 5", "t", t0),
+      graft.pipeline.Turn("c3", 0, "user", "55 cat", "t", t0),
+      graft.pipeline.Turn("c4", 0, "user", "5 cat", "t", t0),
+      graft.pipeline.Turn("c5", 0, "user", "walk C:\\dir1 now", "t", t0)).toDF()
+    ClpPipeline.run(spark, rows, ClpPipeline.Config(dir, maxSinks = 4, saltParts = 4))
+    val eng = new ClpSearch(spark, dir)
+    def ids(q: String): Set[String] =
+      eng.search(q).select("conv_id").as[String].collect().toSet
+    // '*' unanchors the var constraint: "5 cat 7" must NOT satisfy "* cat 5"
+    assert(ids("* cat 5") == Set("c2"))
+    // '?' must match ONE text char, not a whole multi-char variable
+    assert(ids("? cat") == Set("c4"))
+    // a token containing a literal (escaped) backslash resolves in the dict
+    assert(ids("walk C:\\\\dir1 now") == Set("c5"))
+    assert(ids("*C:\\\\dir1*") == Set("c5"))
+  }
+
   test("constant-text queries") {
     check("*connection error*")
     check("*cache hit ratio*")

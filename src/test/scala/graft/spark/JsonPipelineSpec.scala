@@ -385,6 +385,18 @@ class JsonPipelineSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  test("boolean metadata skips the range-index rewrite (row semantics differ)") {
+    // the row predicate parses booleans case-insensitively; the index entry
+    // stores the string "true" — restricting to entry hits would fold
+    // "$_flag: TRUE" to false even though rows match
+    val dir = Files.createTempDirectory("graft-ri-bool").toString
+    JsonPipeline.route(spark, Seq("""{"id":1}""", """{"id":2}""").toDF("json"),
+      "json", dir, metadata = Seq("$_flag" -> lit(true)))
+    assert(JsonPipeline.kqlSearch(spark, dir, "$_flag: TRUE", Seq("id")).count() == 2)
+    assert(JsonPipeline.kqlSearch(spark, dir, "$_flag: true", Seq("id")).count() == 2)
+    assert(JsonPipeline.kqlSearch(spark, dir, "$_flag: false", Seq("id")).count() == 0)
+  }
+
   test("a metadata-free re-route clears the previous ingest's range index") {
     val dir = Files.createTempDirectory("graft-ri-stale").toString
     val recs = Seq("""{"id":1}""", """{"id":2}""").toDF("json")

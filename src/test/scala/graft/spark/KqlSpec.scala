@@ -38,6 +38,18 @@ class KqlSpec extends SparkSpecBase {
     assert(Kql.parse("a:1 AND b:2 OR c:3") == Right(Kql.Or(
       Kql.And(Kql.Filter(Seq("a"), Kql.Eq, "1"), Kql.Filter(Seq("b"), Kql.Eq, "2")),
       Kql.Filter(Seq("c"), Kql.Eq, "3"))))
+    // a quoted value ending in an escaped backslash must not swallow the
+    // closing quote (\\ consumes as a pair)
+    assert(Kql.parse("""msg : "path\\" AND a : 1""") == Right(Kql.And(
+      Kql.Filter(Seq("msg"), Kql.Eq, """path\\"""),
+      Kql.Filter(Seq("a"), Kql.Eq, "1"))))
+    // a bare value inside a nested query scopes to the prefix subtree,
+    // not to every column in the schema
+    assert(Kql.parse("a : {foo OR b : 1}") == Right(Kql.Or(
+      Kql.Filter(Seq("a", "*"), Kql.Eq, "foo"),
+      Kql.Filter(Seq("a", "b"), Kql.Eq, "1"))))
+    // at top level a bare value still matches any column
+    assert(Kql.parse("foo") == Right(Kql.Filter(Nil, Kql.Eq, "foo")))
     assert(Kql.parse("a :").isLeft)
     assert(Kql.parse("(a : 1").isLeft)
   }
