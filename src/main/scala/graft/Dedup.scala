@@ -75,16 +75,11 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** Deterministic MinHash family (splitmix-derived, odd multipliers). */
+  /** Deterministic MinHash family (splitmix-derived, odd multipliers);
+    * shares [[KnnLsh.mix]] so the two LSH families stay on one splitmix. */
   def minhashFamily(n: Int, mod: Long = 1000033L): (Array[Long], Array[Long]) = {
-    def mix(v: Long): Long = {
-      var z = v + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val a = Array.tabulate(n)(i => ((mix(2L * i + 1).abs % (mod - 2)) | 1L))
-    val b = Array.tabulate(n)(i => mix(2L * i + 2).abs % mod)
+    val a = Array.tabulate(n)(i => ((KnnLsh.mix(2L * i + 1).abs % (mod - 2)) | 1L))
+    val b = Array.tabulate(n)(i => KnnLsh.mix(2L * i + 2).abs % mod)
     (a, b)
   }
 
@@ -100,13 +95,18 @@ object Dedup {
    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       nFns: Int, bandRows: Int, jMin: Double): DataFrame = {
-    implicit val spark: SparkSession = docs.sparkSession
     require(nFns % bandRows == 0, "nFns must be a multiple of bandRows")
     val nBands = nFns / bandRows
     val (fa, fb) = minhashFamily(nFns)
     val base = docs.select(
       col(idCol).as("doc_id"),
       array_distinct(GraftQueries.shingles(split(col(textCol), " "))).as("sh"))
+      // sub-3-token docs have NO shingles: their signatures would all be the
+      // identical all-MaxValue vector, co-bucketing every such doc in every
+      // band (O(m^2) candidates) only for the 0/0 Jaccard verify to null
+      // them all out. MinHash is undefined on an empty set — such docs
+      // belong to the exact-dedup path (dedup_exact / dedup_normalized)
+      .filter(size(col("sh")) > 0)
       .withColumn("sigs", minhash_sigs(col("sh"), fa, fb, 1000033L))
     // band keys: xxhash64 over each band's signature slice — one narrow
     // (band, key, id) stream into the bucket join, shingles stay behind
@@ -144,14 +144,24 @@ object Dedup {
    */
   def embeddingLshPairs(emb: DataFrame, tables: Int, planesPerTable: Int,
                         seed: Long, cosMin: Double): DataFrame = {
+    // cosMin > 0 lets zero vectors (undefined cosine, normalized to zero) be
+    // dropped BEFORE bucketing — left in, they all co-bucket at the
+    // all-ones bucket of every table (vec_dot(0, plane) >= 0), an O(m^2)
+    // candidate blowup whose pairs the cosMin filter then discards anyway
+    require(cosMin > 0, s"cosMin must be positive, got $cosMin")
     // plane dimensionality comes from the data (one row head) — hardcoding
     // it would silently bucket on a PREFIX of wider embeddings (vec_dot
     // stops at min length) and violate the advertised recall with no error
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    // guarded normalization (KnnIvf.normalized): a zero embedding stays
-    // zero and scores cos 0 against everything, instead of turning every
-    // pair it touches into NaN and silently vanishing from the results
-    val e = emb.select(col("vec_id"), graft.KnnIvf.normalized(col("embedding")).as("emb"))
+    val dimRow = emb.select(size(col("embedding"))).take(1)
+    if (dimRow.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a_id"), lit(0L).as("b_id"), lit(0.0).as("cos"))
+    val dim = dimRow(0).getInt(0)
+    // guarded one-pass normalization: a zero embedding stays zero (never
+    // NaN-poisons a pair), then drops out of bucketing entirely
+    val e = emb
+      .select(col("vec_id"), graft.KnnIvf.normalized(col("embedding")).as("emb"))
+      .filter(vec_dot(col("emb"), col("emb")) > 0)
     val tableCols: Seq[Column] = (0 until tables).map { t =>
       val planes = KnnLsh.hyperplanes(planesPerTable, dim, seed = seed + 1000L * t)
       struct(lit(t).as("tbl"), KnnLsh.bucketCol(col("emb"), planes).as("bucket"))

@@ -46,8 +46,13 @@ object GraftQueries {
   private val MinhashMod = 1000033L
 
   private def minhash(sh: Column, a: Int, b: Int): Column =
-    aggregate(sh, lit(Long.MaxValue),
-      (acc, s) => least(acc, (lit(a.toLong) * (mdHash(s) % 1000003L) + lit(b.toLong)) % MinhashMod))
+    // NULL on an empty shingle set, matching the DuckDB oracle's
+    // list_aggregate(..., 'min') over an empty list (MinHash is undefined
+    // there — a MaxValue sentinel would co-sign every short doc)
+    when(size(sh) > 0,
+      aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, (lit(a.toLong) * (mdHash(s) % 1000003L) + lit(b.toLong)) % MinhashMod)))
+      .otherwise(lit(null).cast("long"))
 
   /** Verified near-dup pairs: exact 3-gram Jaccard ≥ 0.2 over all doc pairs
     * — the shared kernel behind `dedup_ngram_jaccard` (the pair gate) and
@@ -143,17 +148,19 @@ object GraftQueries {
     val qname = "stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = transform(sdf).writeStream
       .outputMode(mode).format("memory").queryName(qname).start()
-    try { q.processAllAvailable() } finally { q.stop() }
     // materialize, then release the per-invocation resources — repeated
     // gate runs in one JVM must not accumulate memory-sink tables (which
-    // pin every matched row) or graft-stream temp dirs
-    val sink = s.table(qname)
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    s.catalog.dropTempView(qname)
-    java.nio.file.Files.deleteIfExists(streamDir.resolve(s"$table.parquet"))
-    java.nio.file.Files.deleteIfExists(streamDir)
-    out
+    // pin every matched row) or graft-stream temp dirs; the cleanup runs
+    // even when the stream itself fails
+    try {
+      try q.processAllAvailable() finally q.stop()
+      val sink = s.table(qname)
+      s.createDataFrame(java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    } finally {
+      s.catalog.dropTempView(qname)
+      java.nio.file.Files.deleteIfExists(streamDir.resolve(s"$table.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
   }
 
   /** One 4-archive catalog per input dir per JVM — the fleet-metadata layer

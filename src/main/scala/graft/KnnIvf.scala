@@ -27,12 +27,11 @@ import graft.functions.ClpFunctions.vec_dot
 object KnnIvf {
 
   /** L2-normalize an `array<float|double>` column to `array<double>` (zero
-    * vectors stay zero, so the dot of anything with them is 0, not NaN). */
-  def normalized(emb: Column): Column = {
-    val d = transform(emb, x => x.cast("double"))
-    val n = sqrt(vec_dot(d, d))
-    transform(d, x => when(n > 0, x / n).otherwise(lit(0.0)))
-  }
+    * vectors stay zero, so the dot of anything with them is 0, not NaN).
+    * One codegen'd pass — a HOF normalize would re-evaluate the norm
+    * subtree per element (interpreted ArrayTransform has no CSE): O(dim^2). */
+  def normalized(emb: Column): Column =
+    graft.functions.ClpFunctions.vec_normalize(emb)
 
   /** Nearest-centroid id by dot product (≡ cosine on normalized input) as a
     * single codegen-friendly Column: one `vec_dot` against each centroid

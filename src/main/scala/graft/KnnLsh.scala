@@ -5,19 +5,31 @@ package graft
   * of scanning all vectors (brute force stays the exact baseline). */
 object KnnLsh {
 
-  @inline private def mix(v: Long): Long = {
+  /** splitmix64 finalizer — the one deterministic mixer behind both LSH
+    * families ([[hyperplanes]] and [[Dedup.minhashFamily]]). */
+  @inline private[graft] def mix(v: Long): Long = {
     var z = v + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
 
-  /** Gaussian-ish deterministic hyperplanes via sum of uniforms. */
+  /** Deterministic hyperplanes, Gaussian-ish per coordinate via an
+    * Irwin-Hall sum of 4 uniforms — plane DIRECTIONS must be (approximately)
+    * spherically symmetric or the advertised collision model
+    * p = 1 - θ/π becomes orientation-dependent; a single cube-uniform draw
+    * biases axis-aligned data. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { i =>
-        val h = mix(seed ^ (p.toLong << 32) ^ i.toLong)
-        (h.toDouble / Long.MaxValue.toDouble) // uniform in [-1, 1]
+        var s = 0.0
+        var k = 0
+        while (k < 4) {
+          val h = mix(seed ^ (p.toLong << 40) ^ (i.toLong << 8) ^ k.toLong)
+          s += h.toDouble / Long.MaxValue.toDouble // uniform in [-1, 1]
+          k += 1
+        }
+        s // Irwin-Hall: ~N(0, 4/3), symmetric — sign-LSH only needs direction
       }
     }
 

@@ -135,6 +135,7 @@ object ClpRuntime {
   /** Wide SimHash (up to 64 bits): per-bit majority vote of token-hash bits,
     * one codegen'd walk. */
   def simhash64(words: ArrayData, bits: Int): Long = {
+    require(bits >= 1 && bits <= 64, s"simhash64 bits must be in 1..64, got $bits")
     val votes = new Array[Int](bits)
     val n = if (words == null) 0 else words.numElements()
     var i = 0
@@ -153,6 +154,29 @@ object ClpRuntime {
     var j = 0
     while (j < bits) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
     sig
+  }
+
+  /** L2-normalize in ONE pass (sum of squares, then scale) — zero vectors
+    * stay zero, so dots against them are 0, never NaN. A HOF-based
+    * normalize would re-evaluate the norm subtree per element (ArrayTransform
+    * is interpreted, no CSE): O(dim^2) per row vs this O(dim). */
+  def vecNormalize(a: ArrayData, aFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x
+      acc += x * x
+      i += 1
+    }
+    val norm = math.sqrt(acc)
+    if (norm > 0) {
+      i = 0
+      while (i < n) { out(i) /= norm; i += 1 }
+    }
+    new GenericArrayData(out)
   }
 
   def vecDot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
@@ -320,8 +344,32 @@ case class MinhashSigsExpr(child: Expression, a: Array[Long], b: Array[Long], mo
 case class Simhash64Expr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(w: Any, bits: Any): Any =
-    ClpRuntime.simhash64(w.asInstanceOf[ArrayData], bits.asInstanceOf[Int])
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    // an int width outside 1..64 would wrap the bit shifts mod 64 and
+    // silently double-vote low bits; a BIGINT literal would CCE at eval —
+    // both rejected at analysis time (the SQL-registry path has no
+    // Dedup.simhash facade guard in front of it)
+    left.dataType match {
+      case ArrayType(StringType, _) => ()
+      case other => return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName argument 1 must be array<string>, got ${other.sql}")
+    }
+    if (right.dataType != IntegerType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bits must be int, got ${right.dataType.sql}")
+    right match {
+      case Literal(b: Int, _) if b < 1 || b > 64 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in 1..64, got $b")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+  override def nullSafeEval(w: Any, bits: Any): Any = {
+    val b = bits.asInstanceOf[Int]
+    require(b >= 1 && b <= 64, s"simhash64 bits must be in 1..64, got $b")
+    ClpRuntime.simhash64(w.asInstanceOf[ArrayData], b)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (w, bits) => s"graft.functions.ClpRuntime.simhash64($w, $bits)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Simhash64Expr =
@@ -405,8 +453,28 @@ case class TsPatternFormatExpr(left: Expression, right: Expression) extends Bina
   * (`aggregate(zip_with(...))`) interprets a per-element expression tree;
   * this stays a primitive loop inside whole-stage codegen, which is what a
   * brute-force / per-bucket cosine compare needs at scale. */
+/** Input guard shared by the vector expressions: reject non-float/double
+  * arrays at ANALYSIS time — ArrayData.getDouble over an int-backed array
+  * would silently reinterpret raw bytes, returning garbage with no error. */
+private[functions] object VecTypeCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def fpArray(name: String, es: Expression*): TypeCheckResult = {
+    es.zipWithIndex.foreach { case (e, i) =>
+      e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => ()
+        case other => return TypeCheckResult.TypeCheckFailure(
+          s"$name argument ${i + 1} must be array<float|double>, got ${other.sql}")
+      }
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
+}
+
 case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeCheck.fpArray(prettyName, left, right)
   private lazy val leftFloat = left.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -431,6 +499,16 @@ case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpress
   * cost; the hot search path is [[VecQDotExpr]]. */
 case class VecSq8Expr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val l = VecTypeCheck.fpArray(prettyName, left)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else if (right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName multiplier must be double, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   private lazy val leftFloat = left.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -450,6 +528,18 @@ case class VecSq8Expr(left: Expression, right: Expression) extends BinaryExpress
   * bit-stable across engines and cluster sizes. */
 case class VecQDotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    Seq(left, right).zipWithIndex.foreach { case (e, i) =>
+      e.dataType match {
+        case ArrayType(ByteType, _) => ()
+        case other => return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName argument ${i + 1} must be array<tinyint>, got ${other.sql}")
+      }
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
     ClpRuntime.vecQDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -458,6 +548,27 @@ case class VecQDotExpr(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecQDotExpr =
     copy(l, r)
   override def prettyName: String = "vec_qdot"
+}
+
+/** `vec_normalize(vec)` → array<double>: one-pass L2 normalization with the
+  * zero-vector guard (zero stays zero — dots against it are 0, not NaN). */
+case class VecNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeCheck.fpArray(prettyName, child)
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(a: Any): Any =
+    ClpRuntime.vecNormalize(a.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ClpRuntime.vecNormalize($a, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): VecNormalizeExpr =
+    copy(c)
+  override def prettyName: String = "vec_normalize"
 }
 
 /** Registration + Column-API façade for the CLP expressions. */
@@ -477,6 +588,7 @@ object ClpFunctions {
     r.createOrReplaceTempFunction("vec_dot", es => VecDotExpr(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("vec_sq8", es => VecSq8Expr(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("vec_qdot", es => VecQDotExpr(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_normalize", es => VecNormalizeExpr(es.head), "built-in")
   }
 
   def clp_encode(text: Column): Column = call_function("clp_encode", text)
@@ -517,6 +629,9 @@ object ClpFunctions {
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_sq8(vec: Column, mult: Column): Column = call_function("vec_sq8", vec, mult)
   def vec_qdot(a: Column, b: Column): Column = call_function("vec_qdot", a, b)
+  def vec_normalize(a: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      VecNormalizeExpr(org.apache.spark.sql.GraftExpr.expression(a)))
 
   /** Grok/schema-mode encode; the schema is plan-time configuration captured
     * by the Expression directly — no per-schema registry entry. */
