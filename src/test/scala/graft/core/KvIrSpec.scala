@@ -59,6 +59,60 @@ class KvIrSpec extends AnyFunSuite {
     intercept[KvIr.CorruptStream](KvIr.deserialize(out.toByteArray))
   }
 
+  test("fuzz: random canonical JSON events round-trip wire + reserialize byte-exactly") {
+    // Random nested records built in CANONICAL form (minimal whitespace,
+    // escapes exactly as the reserializer emits them), so the contract is
+    // json → typedLeaves → serialize → deserialize → reserialize == json
+    val rnd = new scala.util.Random(
+      sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(0xCAFE5L))
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val keyChars = "abcdefgxyz_"
+    def key(): String =
+      (0 until 1 + rnd.nextInt(5)).map(_ => keyChars(rnd.nextInt(keyChars.length))).mkString
+    def scalar(): String = rnd.nextInt(6) match {
+      case 0 => rnd.nextInt(2000000).toString
+      case 1 => (-rnd.nextInt(1000)).toString
+      case 2 => s"${rnd.nextInt(100)}.${rnd.nextInt(1000)}"   // formatted float
+      case 3 => if (rnd.nextBoolean()) "true" else "false"
+      case 4 => "null"
+      case _ =>
+        val w = Seq.fill(1 + rnd.nextInt(4))(key()).mkString(" ") // Clp/VarString
+        "\"" + esc(w + (if (rnd.nextBoolean()) "\nnl\\p" else "")) + "\""
+    }
+    def value(depth: Int): String = rnd.nextInt(8) match {
+      case 0 | 1 if depth < 3 => obj(depth + 1)
+      case 2 if depth < 3 =>
+        "[" + Seq.fill(rnd.nextInt(4))(value(depth + 1)).mkString(",") + "]"
+      case _ => scalar()
+    }
+    def obj(depth: Int): String = {
+      val ks = (0 until 1 + rnd.nextInt(4)).map(_ => key()).distinct
+      "{" + ks.map(k => "\"" + k + "\":" + value(depth)).mkString(",") + "}"
+    }
+    val events = Vector.fill(120)(obj(0))
+    val leaves = events.map(j => JsonShape.typedLeaves(j))
+    val back = KvIr.deserialize(KvIr.serialize(leaves))
+    assert(back.size == events.size)
+    back.zip(leaves).zip(events).foreach { case ((b, l), j) =>
+      assert(b == l, s"wire mismatch for $j")
+      assert(JsonShape.reserialize(b) == j, s"reserialize mismatch for $j")
+    }
+    // structurize mode: value-less [] markers drop on the wire, record
+    // content still reconstructs byte-exactly
+    val sLeaves = events.map(j => JsonShape.typedLeaves(j, structurizeArrays = true))
+    val sBack = KvIr.deserialize(KvIr.serialize(sLeaves))
+    sBack.zip(sLeaves).zip(events).foreach { case ((b, l), j) =>
+      assert(b == l.filterNot(_.path.contains("[]")))
+      assert(JsonShape.reserialize(b) == j, s"structurize reserialize mismatch for $j")
+    }
+  }
+
   test("DateString and StructuredArray leaves ride the wire") {
     val ev = JsonShape.typedLeaves(
       """{"ts":"2024-01-02 03:04:00","arr":[[1],{"k":2}],"msg":"a b c"}""",

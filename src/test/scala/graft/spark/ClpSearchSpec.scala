@@ -221,6 +221,57 @@ class ClpSearchSpec extends SparkSpecBase {
     assert(nonEmpty >= 24, s"weak fuzz corpus: only $nonEmpty/48 non-empty oracles")
   }
 
+  test("fuzz: escape-heavy corpus — backslash tokens, literal wildcards, wild+var queries") {
+    // Targets the two soundness classes the corpus-derived fuzzer can't
+    // reach: (1) tokens containing literal '\' / '*' / '?' (query-side
+    // escaping must round-trip through tokenize → dict probe), (2) pure
+    // wildcard runs adjacent to variables ("* word N"), where the encoded
+    // match alone is unanchored and only the decoded-text verify is sound.
+    import spark.implicits._
+    val rnd = new scala.util.Random(
+      sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(0xE5CA9EL))
+    val words = Array("job", "C:\\dir1", "p*q", "x?y", "a\\b\\c", "disk",
+      "run42", "0x3f", "cat", "node-17", "v1.2", "??", "tmp")
+    val fuzzTexts = (0 until 160).map { i =>
+      Seq.fill(3 + rnd.nextInt(6))(words(rnd.nextInt(words.length)))
+        .mkString(" ") + s" seq $i"
+    }
+    def mkTurn(i: Int, text: String) = graft.pipeline.Turn(
+      s"f$i", 0, "user", text, "t", new java.sql.Timestamp(1704067200000L + i))
+    val dir = Files.createTempDirectory("graft-search-esc").toString
+    val fdf = fuzzTexts.zipWithIndex.map { case (t0, i) => mkTurn(i, t0) }.toDF()
+    ClpPipeline.run(spark, fdf, ClpPipeline.Config(dir, maxSinks = 4, saltParts = 4))
+    val eng = new ClpSearch(spark, dir)
+    def escapeLiteral(s: String): String =
+      s.flatMap(c => if (c == '*' || c == '?' || c == '\\') s"\\$c" else c.toString)
+    var nonEmpty = 0
+    for (n <- 0 until 40) {
+      val t0 = fuzzTexts(rnd.nextInt(fuzzTexts.length))
+      val query = rnd.nextInt(3) match {
+        case 0 => // escaped literal substring, token-aligned
+          val ws = t0.split(' ')
+          val k = rnd.nextInt(ws.length)
+          val m = k + 1 + rnd.nextInt(math.min(3, ws.length - k))
+          "*" + escapeLiteral(ws.slice(k, m).mkString(" ")) + "*"
+        case 1 => // pure-wild run + trailing exact var ("* seq N")
+          val i = rnd.nextInt(fuzzTexts.length)
+          s"* seq $i"
+        case 2 => // '?' adjacent to a token boundary
+          val ws = t0.split(' ')
+          val w = ws(rnd.nextInt(ws.length))
+          "*" + (if (rnd.nextBoolean()) "? " else "?") + escapeLiteral(w) + "*"
+      }
+      val cleaned = Wildcard.cleanUp(query)
+      val exp = fuzzTexts.zipWithIndex.collect {
+        case (t1, i) if Wildcard.matches(t1, cleaned, caseSensitive = true) => s"f$i"
+      }.toSet
+      if (exp.nonEmpty) nonEmpty += 1
+      val gotIds = eng.search(query).select("conv_id").as[String].collect().toSet
+      assert(gotIds == exp, s"escape fuzz #$n mismatch for '$query'")
+    }
+    assert(nonEmpty >= 20, s"weak escape-fuzz corpus: only $nonEmpty/40 non-empty")
+  }
+
   test("extract (clp x): full archive reconstructs every turn byte-exactly in order (O3)") {
     engine // force pipeline build
     val extracted = graft.search.Extract(spark, outDir)
