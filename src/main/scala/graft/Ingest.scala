@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
  *     [--jsonl <col>]            clp_s mode: route JSONL column per schema
  *     [--schema <file>]          grok/schema tokenizer mode (P6)
  *     [--max-sinks N] [--salt N] [--files-per-sink N] [--resume]
+ *     [--archival]               storage profile: parquet zstd level 9 +
+ *                                v2 delta pages (default: session codec —
+ *                                the throughput profile)
  * }}}
  */
 object Ingest {
@@ -35,10 +38,20 @@ object Ingest {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ClpFunctions.register(spark)
 
+    // the measured archival storage profile (BENCH/BASELINE.md):
+    // smallest archive, ~same read path; ingest pays the zstd-9 CPU
+    val pqOpts: Map[String, String] =
+      if (flags.contains("--archival"))
+        Map("compression" -> "zstd",
+          "parquet.compression.codec.zstd.level" -> "9",
+          "parquet.writer.version" -> "v2")
+      else Map.empty
+
     if (flags.contains("--jsonl")) {
       val col = flagVal("--jsonl").getOrElse("json")
       val res = graft.pipeline.JsonPipeline.route(
-        spark, spark.read.parquet(input), col, outDir)
+        spark, spark.read.parquet(input), col, outDir,
+        options = graft.pipeline.JsonPipeline.Options(parquetOptions = pqOpts))
       println(s"ingest(jsonl): ${res.nRecords} records into ${res.nSchemas} schema tables at $outDir")
     } else {
       val turns =
@@ -57,7 +70,8 @@ object Ingest {
         tokenizerSchema = flagVal("--schema").map(f =>
           graft.core.TokenizerSchema.parse(
             new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
-              java.nio.charset.StandardCharsets.UTF_8))))
+              java.nio.charset.StandardCharsets.UTF_8))),
+        parquetOptions = pqOpts)
       val res = graft.pipeline.ClpPipeline.run(spark, turns, cfg)
       println(s"ingest: ${res.turnsIn} turns -> ${res.rowsRouted} routed rows, " +
         s"${res.nLogtypes} logtypes, ${res.nVars} vars at $outDir")

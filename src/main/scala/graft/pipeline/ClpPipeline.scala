@@ -52,7 +52,20 @@ object ClpPipeline {
       /** Distributed mode only: the N hottest dictionary entries (by count)
         * broadcast-joined before the shuffle-join tail — the Zipf head that
         * covers most row-side references without shuffling them. */
-      hotHeadSize: Int = 100000)
+      hotHeadSize: Int = 100000,
+      /** Parquet writer options applied to the PERSISTENT archive outputs
+        * (routed segments, dictionaries, stats/lineage) — not the transient
+        * `parsed` checkpoint, which stays on the fast session codec. The
+        * archival profile the reference's storage-cost story corresponds to:
+        * `Map("compression" -> "zstd",
+        *      "parquet.compression.codec.zstd.level" -> "9",
+        *      "parquet.writer.version" -> "v2")`
+        * — measured 4.54x vs raw (vs 2.98x for the snappy throughput
+        * profile, and past the 4.27x gzip baseline) at ~flat ingest wall
+        * time; zstd level 19 WITHOUT v2 is the measured max (5.00x, 2.4x
+        * the write cost — at high levels plain pages beat delta pages).
+        * Full grid in BENCH/BASELINE.md (graft.tools.CompressionProbe). */
+      parquetOptions: Map[String, String] = Map.empty)
 
   final case class Result(
       turnsIn: Long,
@@ -376,6 +389,7 @@ object ClpPipeline {
       .repartition(parts, col("sink_id"), pmod(xxhash64(col("conv_id")), lit(cfg.filesPerSink)))
       .sortWithinPartitions("sink_id", "conv_id", "turn_idx")
       .write.mode("overwrite")
+      .options(cfg.parquetOptions)
       .partitionBy("sink_id")
       .parquet(s"${cfg.outDir}/routed")
   }
@@ -412,6 +426,25 @@ object ClpPipeline {
     * defaults to the synthetic transcript mapping. */
   def run(spark: SparkSession, turns: DataFrame, cfg: Config,
           lookup: Option[DataFrame] = None): Result = {
+    // Spark's session default writes TIMESTAMP as parquet INT96 — 12 bytes
+    // per value of a non-standard type (measured: the ts column was 13.5 B/row
+    // raw, the single biggest routed column after vars). TIMESTAMP_MICROS is
+    // the standard type at Spark's OWN internal precision — always lossless —
+    // and 8 bytes before encoding. Set for the duration of the run, restored
+    // after (the archive owns its storage format; the caller's session conf
+    // is not ours to keep).
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try runInner(spark, turns, cfg, lookup)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
+  }
+
+  private def runInner(spark: SparkSession, turns: DataFrame, cfg: Config,
+                       lookup: Option[DataFrame]): Result = {
     val lineage = new Lineage(cfg.outDir)
 
     if (!(cfg.resume && lineage.isComplete("parse"))) {
@@ -458,17 +491,17 @@ object ClpPipeline {
             .select(ltIdSink(col("value")).as("e"), col("value"), col("cnt"))
             .select(col("e._1").as("logtype_id"), col("value").as("logtype"),
               col("cnt"), col("e._2").as("sink_id"))
-            .write.mode("overwrite").parquet(s"${cfg.outDir}/logtype_dict")
+            .write.mode("overwrite").options(cfg.parquetOptions).parquet(s"${cfg.outDir}/logtype_dict")
           counts.filter(col("kind") === 1)
             .select(varId(col("value")).as("var_id"), col("value"), col("cnt"))
-            .write.mode("overwrite").parquet(s"${cfg.outDir}/var_dict")
+            .write.mode("overwrite").options(cfg.parquetOptions).parquet(s"${cfg.outDir}/var_dict")
           counts.unpersist()
           fusedBc = Some((bcLt, bcVar))
         case None => // over threshold: per-dict path (distributed IDs)
           buildLogtypeDict(parsed, cfg)
-            .write.mode("overwrite").parquet(s"${cfg.outDir}/logtype_dict")
+            .write.mode("overwrite").options(cfg.parquetOptions).parquet(s"${cfg.outDir}/logtype_dict")
           buildVarDict(parsed, cfg)
-            .write.mode("overwrite").parquet(s"${cfg.outDir}/var_dict")
+            .write.mode("overwrite").options(cfg.parquetOptions).parquet(s"${cfg.outDir}/var_dict")
       }
       lineage.complete("dicts", Map("input_rows" -> turnsIn,
         "duration_ms" -> (System.nanoTime() - t0) / 1000000))
@@ -514,9 +547,9 @@ object ClpPipeline {
           hll_sketch_estimate(hll_union_agg(col("_lt_sk"))).as("n_logtypes_approx"))
         .select("sink_id", "n_rows", "n_convs_approx", "min_ts", "max_ts",
           "n_bytes", "n_logtypes_approx")
-        .write.mode("overwrite").parquet(s"${cfg.outDir}/sink_stats")
+        .write.mode("overwrite").options(cfg.parquetOptions).parquet(s"${cfg.outDir}/sink_stats")
       bucketed.select("sink_id", "bucket", "n_rows", "n_bytes")
-        .write.mode("overwrite").parquet(s"${cfg.outDir}/lineage_partitions")
+        .write.mode("overwrite").options(cfg.parquetOptions).parquet(s"${cfg.outDir}/lineage_partitions")
       bucketed.unpersist()
       lineage.complete("stats", Map("duration_ms" -> (System.nanoTime() - t0) / 1000000))
     }

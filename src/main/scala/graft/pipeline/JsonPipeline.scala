@@ -62,7 +62,11 @@ object JsonPipeline {
       timestampKey: Option[String] = None,
       structurizeArrays: Boolean = false,
       orderCol: Option[String] = None,
-      filesPerSchema: Int = 1)
+      filesPerSchema: Int = 1,
+      /** Parquet writer options for the archive outputs — same knob as
+        * [[ClpPipeline.Config.parquetOptions]] (archival profile: zstd +
+        * level 9 + v2 delta pages; see BENCH/BASELINE.md measurements). */
+      parquetOptions: Map[String, String] = Map.empty)
 
   /** Numeric timestamp-key values are epoch seconds unless already epoch
     * millis (≥10^12); strings go through the reference's timestamp pattern
@@ -230,7 +234,7 @@ object JsonPipeline {
       .repartition(col("schema_id"),
         pmod(xxhash64(col("log_event_idx")), lit(options.filesPerSchema.max(1))))
       .sortWithinPartitions("schema_id", "log_event_idx")
-      .write.partitionBy("schema_id").mode("overwrite").parquet(s"$outDir/records")
+      .write.options(options.parquetOptions).partitionBy("schema_id").mode("overwrite").parquet(s"$outDir/records")
     // read back with the KNOWN schema: an empty corpus writes no part files,
     // and schema inference over zero files would crash; everything downstream
     // then flows through to an empty (but valid) archive
@@ -252,7 +256,7 @@ object JsonPipeline {
 
     catalog.toSeq.map(c => (c._1, c._2, c._3, c._4, c._5))
       .toDF("schema_id", "descriptor", "n_records", "min_ts", "max_ts")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/schemas")
+      .coalesce(1).write.options(options.parquetOptions).mode("overwrite").parquet(s"$outDir/schemas")
 
     // Range index (RangeIndexWriter.hpp:17-38): one [s,e) log_event_idx span
     // per distinct metadata tuple — the per-ingest-file metadata the
@@ -272,7 +276,7 @@ object JsonPipeline {
         }
         .sortBy(_._1).toSeq
       entries.toDF("start_idx", "end_idx", "fields")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/range_index")
+        .coalesce(1).write.options(options.parquetOptions).mode("overwrite").parquet(s"$outDir/range_index")
     } else {
       // a metadata-free re-route over a dir that HAD metadata must not leave
       // the previous ingest's index describing the overwritten records —
@@ -294,7 +298,7 @@ object JsonPipeline {
       .sorted.zipWithIndex
       .map { case ((p, t), ix) => (ix, p, t) }
     tree.toDF("node_id", "path", "node_type")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/schema_tree")
+      .coalesce(1).write.options(options.parquetOptions).mode("overwrite").parquet(s"$outDir/schema_tree")
 
     // derived per-schema Spark schema (so search re-parses records without
     // inference); merged across records via the shape-widening rules
@@ -308,7 +312,7 @@ object JsonPipeline {
       (id, deriveStructType(descriptor, merged).json)
     }
     tableSchemas.toDF("schema_id", "spark_schema")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/table_schemas")
+      .coalesce(1).write.options(options.parquetOptions).mode("overwrite").parquet(s"$outDir/table_schemas")
 
     Result(catalog.iterator.map(_._3).sum, catalog.length.toLong)
   }

@@ -56,6 +56,10 @@ final class StreamingPipeline(spark: SparkSession, outDir: String,
   def processBatch(turns: DataFrame, batchId: Long): Unit = {
     val marker = new java.io.File(s"$outDir/_batches/$batchId")
     if (marker.exists()) return
+    // same archive storage type as the batch pipeline (ClpPipeline.run):
+    // standard 8-byte TIMESTAMP_MICROS, not 12-byte INT96 — and the appended
+    // batches stay homogeneous with a batch-built archive's files
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val parsed = ClpPipeline.parse(turns)
       // a batch is small: localCheckpoint would pin executors in streaming;
       // just materialize via cache for the two passes below

@@ -134,4 +134,23 @@ class ClpPipelineSpec extends SparkSpecBase {
     val lin = spark.read.parquet(s"$outDir/lineage_partitions")
     assert(lin.agg(sum("n_rows")).head.getLong(0) == result.rowsRouted)
   }
+
+  test("archival parquet profile (zstd-9 + v2 pages) round-trips and shrinks the archive") {
+    result // force the default (snappy/v1) run first
+    val out2 = Files.createTempDirectory("graft-pipe-zstd").toString
+    val res2 = ClpPipeline.run(spark, turns, cfg.copy(outDir = out2,
+      parquetOptions = Map(
+        "compression" -> "zstd",
+        "parquet.compression.codec.zstd.level" -> "9",
+        "parquet.writer.version" -> "v2")))
+    assert(res2.rowsRouted == result.rowsRouted)
+    // the archive stays a plain parquet table: byte-exact decode over it
+    assert(ClpPipeline.roundTripViolations(spark, turns, out2).count() == 0)
+    // and the options actually reached the writer: same rows, fewer bytes
+    def bytes(dir: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => p.toFile.length).sum
+    assert(bytes(s"$out2/routed") < bytes(s"$outDir/routed"))
+  }
 }
