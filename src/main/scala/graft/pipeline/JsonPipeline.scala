@@ -66,7 +66,19 @@ object JsonPipeline {
       /** Parquet writer options for the archive outputs — same knob as
         * [[ClpPipeline.Config.parquetOptions]] (archival profile: zstd +
         * level 9 + v2 delta pages; see BENCH/BASELINE.md measurements). */
-      parquetOptions: Map[String, String] = Map.empty)
+      parquetOptions: Map[String, String] = Map.empty,
+      /** Store a shredded VARIANT twin (`_var`) of every record alongside
+        * `_raw` — the reference's per-column typed streams
+        * (clp_s/ColumnWriter.hpp:50-173) re-expressed as Spark 4 parquet
+        * variant shredding: each schema's homogeneous records shred into
+        * real typed subcolumns, so [[kqlSearch]] reads ONLY the queried
+        * leaves from disk (ReadSchema prunes to the shredded fields, filters
+        * push into the scan) instead of scanning + parsing the full `_raw`
+        * string of every candidate record. `_raw` stays authoritative for
+        * byte-exact [[extract]]. Divergence note: duplicate keys within one
+        * object resolve last-wins in the variant (same as the from_json
+        * query path). */
+      shredRecords: Boolean = false)
 
   /** Numeric timestamp-key values are epoch seconds unless already epoch
     * millis (≥10^12); strings go through the reference's timestamp pattern
@@ -229,12 +241,29 @@ object JsonPipeline {
         col("_shape._3").as("_arr_shapes"),
         col("log_event_idx"),
         col(jsonCol).as("_raw")) ++
+        (if (options.shredRecords) Seq(parse_json(col(jsonCol)).as("_var")) else Nil) ++
         metadata.map { case (nm, c) => c.as(nm) }: _*)
-    shaped0
-      .repartition(col("schema_id"),
-        pmod(xxhash64(col("log_event_idx")), lit(options.filesPerSchema.max(1))))
-      .sortWithinPartitions("schema_id", "log_event_idx")
-      .write.options(options.parquetOptions).partitionBy("schema_id").mode("overwrite").parquet(s"$outDir/records")
+    // variant shredding is session-conf-driven (no per-write option): each
+    // per-schema file infers its own shredding schema — homogeneous by
+    // construction, so every leaf lands in a typed subcolumn. Confs are
+    // restored after the write (they also govern parse_json evaluation,
+    // which runs inside this job).
+    val shredConfs = Seq(
+      "spark.sql.variant.writeShredding.enabled",
+      "spark.sql.variant.inferShreddingSchema",
+      "spark.sql.variant.allowDuplicateKeys")
+    val prevShred = shredConfs.map(k => k -> spark.conf.getOption(k))
+    if (options.shredRecords) shredConfs.foreach(spark.conf.set(_, "true"))
+    try {
+      shaped0
+        .repartition(col("schema_id"),
+          pmod(xxhash64(col("log_event_idx")), lit(options.filesPerSchema.max(1))))
+        .sortWithinPartitions("schema_id", "log_event_idx")
+        .write.options(options.parquetOptions).partitionBy("schema_id").mode("overwrite").parquet(s"$outDir/records")
+    } finally if (options.shredRecords) prevShred.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     // read back with the KNOWN schema: an empty corpus writes no part files,
     // and schema inference over zero files would crash; everything downstream
     // then flows through to an empty (but valid) archive
@@ -343,6 +372,17 @@ object JsonPipeline {
         graft.core.Wildcard.matches(path, pat, caseSensitive = true)
       })
       .map(_.getString(0)).toSeq.sorted
+  }
+
+  /** True iff every field name in the schema (at any depth) is expressible
+    * in both the variant path bracket syntax and unquoted-safe DDL — the
+    * conservative gate for the shredded read path; anything else falls back
+    * to from_json over `_raw` (same results, row-wise read). */
+  private def variantSafe(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.forall(f =>
+      !f.name.exists(c => c == '"' || c == '\\' || c == '`') && variantSafe(f.dataType))
+    case a: ArrayType => variantSafe(a.elementType)
+    case _ => true
   }
 
   private case class CatalogEntry(schemaId: String, descriptor: String,
@@ -479,10 +519,25 @@ object JsonPipeline {
         .exists(_ != true)
       if (cantMatch) None
       else {
-        val df = records.filter(col("schema_id") === e.schemaId) // partition-pruned
-          .withColumn("_rec", from_json(col("_raw"), e.sparkSchema))
-          .select(metaCols.map(m => col(s"`$m`")) ++
-            Seq(col("log_event_idx")) :+ col("_rec.*"): _*)
+        val pruned = records.filter(col("schema_id") === e.schemaId) // partition-pruned
+        // Shredded archives read each top-level field straight from its
+        // typed variant subcolumn: the scan's ReadSchema prunes to the
+        // fields the query actually touches and predicates push into the
+        // parquet scan — `_raw` is never read (the clp_s per-column streams,
+        // ColumnWriter.hpp:50-173). try_variant_get mirrors PERMISSIVE
+        // from_json: null on absent path or cast mismatch. Field names the
+        // variant path / DDL syntax can't quote fall back to from_json.
+        val df =
+          if (records.columns.contains("_var") && variantSafe(e.sparkSchema))
+            pruned.select(metaCols.map(m => col(s"`$m`")) ++
+              Seq(col("log_event_idx")) ++
+              e.sparkSchema.fields.map(f =>
+                try_variant_get(col("_var"), "$[\"" + f.name + "\"]",
+                  f.dataType.sql).as(f.name)): _*)
+          else
+            pruned.withColumn("_rec", from_json(col("_raw"), e.sparkSchema))
+              .select(metaCols.map(m => col(s"`$m`")) ++
+                Seq(col("log_event_idx")) :+ col("_rec.*"): _*)
         val tsPred = (tsLo.map(col("`$_ts`") >= _) ++ tsHi.map(col("`$_ts`") <= _))
           .reduceOption(_ && _).getOrElse(lit(true))
         Some((e, df.filter(kqlPred && tsPred).drop("log_event_idx")))

@@ -63,6 +63,35 @@ class JsonPipelineSpec extends SparkSpecBase {
     assert(hits2 == Set(0L, 3L))
   }
 
+  test("shredded variant archive answers every KQL query identically to the row-wise layout") {
+    result // force the default archive
+    val shredDir = Files.createTempDirectory("graft-jsonl-shred").toString
+    val res2 = JsonPipeline.route(spark, jsonl, "json", shredDir,
+      options = JsonPipeline.Options(shredRecords = true))
+    assert(res2.nRecords == result.nRecords && res2.nSchemas == result.nSchemas)
+    assert(spark.read.parquet(s"$shredDir/records").columns.contains("_var"))
+    // a query battery across every leaf kind: nested path, wildcard path,
+    // numeric range, array membership, boolean, existence, NOT, projection
+    val queries = Seq(
+      ("*.lang : en", Seq("id")),
+      ("meta.score >= 2 OR k : 7", Seq("id")),
+      ("tags : a", Seq("id", "msg")),
+      ("ok : true", Seq("id")),
+      ("meta.lang : * AND NOT k : 99", Seq("id", "meta.score")),
+      ("msg : *text*", Seq("*")),
+      ("NOT msg : *o*", Seq("id")))
+    queries.foreach { case (q, proj) =>
+      val a = JsonPipeline.kqlSearch(spark, outDir, q, proj)
+      val b = JsonPipeline.kqlSearch(spark, shredDir, q, proj)
+      assert(a.columns.toSeq == b.columns.toSeq, s"columns for $q")
+      assert(a.collect().map(_.toString).sorted.toSeq ==
+        b.collect().map(_.toString).sorted.toSeq, s"rows for $q")
+    }
+    // byte-exact extraction is untouched by the layout (reads _raw leaves)
+    assert(JsonPipeline.extract(spark, shredDir).collect().map(_.getString(1)).sorted.toSeq ==
+      JsonPipeline.extract(spark, outDir).collect().map(_.getString(1)).sorted.toSeq)
+  }
+
   // ---- first-class timestamps (timestamp-key + range index + pruning) ----
 
   private lazy val tsDir = Files.createTempDirectory("graft-jsonl-ts").toString

@@ -137,4 +137,19 @@ class PlanQualitySpec extends SparkSpecBase {
     // partition filter (directory pruning), not a data filter
     assert(p.contains("PartitionFilters") && p.contains("sink_id"))
   }
+
+  test("shredded archive: KQL reads only the queried variant subcolumns, never _raw") {
+    val df = graft.GraftQueries.queries("jsonl_kql_shredded")(spark, sf)
+    val p = executedPlan(df)
+    // the scan's ReadSchema must be the shredded variant struct cut down to
+    // the queried leaves — not the full record and not the raw JSON string
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(readSchemas.contains("_var"), readSchemas)
+    assert(!readSchemas.contains("_raw"), readSchemas)
+    // at least one predicate pushes into the parquet scan as a filter over a
+    // shredded subcolumn (PushVariantIntoScan): lang = 'en' lands as
+    // EqualTo(_var.`<field>`.lang, en)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("_var.")), p)
+  }
 }
