@@ -231,6 +231,30 @@ class JsonPipelineSpec extends SparkSpecBase {
       """{"idx":9,"arr":[{"c":5}]}"""))
   }
 
+  test("shredded + structurize-arrays compose: same KQL results, byte-exact extract") {
+    val recs = Seq(
+      """{"idx":7,"arr":[{"a":999},{"b":1001}]}""",
+      """{"idx":8,"arr":[{"a":1},{"b":2}]}""",
+      """{"idx":9,"arr":[{"c":5}]}""",
+      """{"idx":10,"tag":"plain"}""").toDF("json")
+    val plainDir = Files.createTempDirectory("graft-jsonl-ss-plain").toString
+    val shredDir = Files.createTempDirectory("graft-jsonl-ss-shred").toString
+    JsonPipeline.route(spark, recs, "json", plainDir,
+      options = JsonPipeline.Options(structurizeArrays = true))
+    JsonPipeline.route(spark, recs, "json", shredDir,
+      options = JsonPipeline.Options(structurizeArrays = true, shredRecords = true))
+    Seq(("arr.b > 1000", Seq("idx")), ("arr.a : *", Seq("idx")),
+        ("tag : plain", Seq("idx")), ("NOT arr.c : 5", Seq("idx"))).foreach {
+      case (q, proj) =>
+        val a = JsonPipeline.kqlSearch(spark, plainDir, q, proj)
+        val b = JsonPipeline.kqlSearch(spark, shredDir, q, proj)
+        assert(a.collect().map(_.toString).sorted.toSeq ==
+          b.collect().map(_.toString).sorted.toSeq, s"rows for $q")
+    }
+    assert(JsonPipeline.extract(spark, shredDir).collect().map(_.getString(1)).toSeq ==
+      JsonPipeline.extract(spark, plainDir).collect().map(_.getString(1)).toSeq)
+  }
+
   test("structurize-arrays: nested arrays and object elements route end-to-end") {
     // the child type markers of a structurized array are value-less; a
     // nested array among them must not be fed to the shape parser
