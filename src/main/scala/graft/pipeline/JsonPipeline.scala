@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{JsonShape, TimestampPatterns}
+import graft.search.KqlCompiler.quoteName
 
 /**
  * The clp_s structured-JSON pipeline slice (SURVEY §1.2 / §2.1 S4+S7):
@@ -295,7 +296,7 @@ object JsonPipeline {
     val rangeCols = shaped.columns.filter(c => c.startsWith("$") && c != "$_ts").toSeq
     if (rangeCols.nonEmpty) {
       val entries = shaped
-        .groupBy(rangeCols.map(c => col(s"`$c`")): _*)
+        .groupBy(rangeCols.map(c => col(quoteName(c))): _*)
         .agg(min(col("log_event_idx")).as("_s"), max(col("log_event_idx")).as("_e"))
         .collect()
         .map { r =>
@@ -529,14 +530,14 @@ object JsonPipeline {
         // variant path / DDL syntax can't quote fall back to from_json.
         val df =
           if (records.columns.contains("_var") && variantSafe(e.sparkSchema))
-            pruned.select(metaCols.map(m => col(s"`$m`")) ++
+            pruned.select(metaCols.map(m => col(quoteName(m))) ++
               Seq(col("log_event_idx")) ++
               e.sparkSchema.fields.map(f =>
                 try_variant_get(col("_var"), "$[\"" + f.name + "\"]",
                   f.dataType.sql).as(f.name)): _*)
           else
             pruned.withColumn("_rec", from_json(col("_raw"), e.sparkSchema))
-              .select(metaCols.map(m => col(s"`$m`")) ++
+              .select(metaCols.map(m => col(quoteName(m))) ++
                 Seq(col("log_event_idx")) :+ col("_rec.*"): _*)
         val tsPred = (tsLo.map(col("`$_ts`") >= _) ++ tsHi.map(col("`$_ts`") <= _))
           .reduceOption(_ && _).getOrElse(lit(true))
@@ -559,7 +560,7 @@ object JsonPipeline {
         case (nm, dt) if have.contains(nm) =>
           // dotted names navigate into structs here (resolution source);
           // after the alias the output column is literally named with dots
-          val c = col(nm)
+          val c = col(nm.split('.').map(quoteName).mkString("."))
           val src = cols.find(_._1 == nm).get._2
           val cast =
             if (src == dt) c
@@ -571,7 +572,7 @@ object JsonPipeline {
     }
     // union with null-fill for schema-absent projected columns
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
-      .select(outCols.map { case (nm, _) => col(s"`$nm`") }: _*)
+      .select(outCols.map { case (nm, _) => col(quoteName(nm)) }: _*)
   }
 
   /**

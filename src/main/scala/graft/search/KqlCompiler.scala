@@ -204,8 +204,14 @@ object KqlCompiler {
     case Kql.Eq => c === v
   }
 
+  /** Backtick-quote one name part per Spark's attribute syntax: backticks
+    * inside a quoted part must be doubled, or any field name containing one
+    * (legal in JSON keys) throws INVALID_ATTRIBUTE_NAME_SYNTAX at the first
+    * col() that mentions the schema. */
+  private[graft] def quoteName(p: String): String = "`" + p.replace("`", "``") + "`"
+
   private def colOf(path: Seq[String]): Column =
-    path.map(p => s"`$p`").mkString(".") match { case s => col(s) }
+    col(path.map(quoteName).mkString("."))
 
   private def fieldOf(base: Column, inner: Seq[String]): Column =
     inner.foldLeft(base)(_ getField _)

@@ -255,6 +255,59 @@ class JsonPipelineSpec extends SparkSpecBase {
       JsonPipeline.extract(spark, plainDir).collect().map(_.getString(1)).toSeq)
   }
 
+  test("fuzz: shredded layout is metamorphically equal to row-wise on random corpora") {
+    // The shredded read path (try_variant_get over typed subcolumns) must
+    // answer every query exactly like from_json over _raw — sweep it with a
+    // random mixed-schema corpus (optional fields, nested objects, arrays,
+    // floats/bools/nulls, a backtick field name that forces the variantSafe
+    // fallback on its schema) and random KQL over the tame fields. The
+    // row-wise layout is the oracle (itself oracle-fuzzed above).
+    val rnd = new scala.util.Random(sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(0x5A7EDL))
+    val jsons = Seq.tabulate(250) { i =>
+      val parts = scala.collection.mutable.Buffer(s""""idx":$i""")
+      if (rnd.nextInt(7) != 0) parts += s""""k":${rnd.nextInt(200) - 50}"""
+      if (rnd.nextInt(3) != 0) parts += s""""s":"word${rnd.nextInt(15)}""""
+      if (rnd.nextInt(4) == 0) parts += s""""f":${(rnd.nextInt(2000) - 1000) / 16.0}"""
+      if (rnd.nextInt(4) == 0) parts += s""""b":${rnd.nextBoolean()}"""
+      if (rnd.nextInt(5) == 0) parts += """"z":null"""
+      if (rnd.nextInt(3) == 0)
+        parts += s""""meta":{"lang":"${Seq("en", "de", "fr")(rnd.nextInt(3))}","n":${rnd.nextInt(9)}}"""
+      if (rnd.nextInt(4) == 0)
+        parts += s""""tags":[${Seq.fill(rnd.nextInt(3) + 1)(s""""t${rnd.nextInt(5)}"""").mkString(",")}]"""
+      if (rnd.nextInt(10) == 0) parts += s""""we`ird":${rnd.nextInt(5)}"""
+      "{" + parts.mkString(",") + "}"
+    }
+    val rowDir = Files.createTempDirectory("graft-jsonl-mfuzz-row").toString
+    val varDir = Files.createTempDirectory("graft-jsonl-mfuzz-var").toString
+    JsonPipeline.route(spark, jsons.toDF("json"), "json", rowDir)
+    JsonPipeline.route(spark, jsons.toDF("json"), "json", varDir,
+      options = JsonPipeline.Options(shredRecords = true))
+    var nonEmpty = 0
+    for (i <- 0 until 30) {
+      val kql = rnd.nextInt(8) match {
+        case 0 => s"k >= ${rnd.nextInt(200) - 50}"
+        case 1 => s"s : word${rnd.nextInt(15)}"
+        case 2 => s"s : *d${rnd.nextInt(15)}*"
+        case 3 => s"meta.n < ${rnd.nextInt(9)} AND *.lang : ${Seq("en", "de", "fr")(rnd.nextInt(3))}"
+        case 4 => s"tags : t${rnd.nextInt(5)} OR b : true"
+        case 5 => s"NOT k : ${rnd.nextInt(200) - 50}"
+        case 6 => s"f > ${(rnd.nextInt(2000) - 1000) / 16.0} AND s : *"
+        case 7 => "NOT z : * AND k < " + rnd.nextInt(150)
+      }
+      val proj = Seq(Seq("idx"), Seq("idx", "s"), Seq("*"))(rnd.nextInt(3))
+      val a = JsonPipeline.kqlSearch(spark, rowDir, kql, proj)
+      val b = JsonPipeline.kqlSearch(spark, varDir, kql, proj)
+      assert(a.columns.toSeq == b.columns.toSeq, s"fuzz #$i columns for '$kql'")
+      val (ra, rb) = (a.collect().map(_.toString).sorted.toSeq,
+        b.collect().map(_.toString).sorted.toSeq)
+      if (ra.nonEmpty) nonEmpty += 1
+      assert(ra == rb, s"fuzz #$i mismatch for '$kql' proj=$proj")
+    }
+    assert(nonEmpty >= 15, s"weak fuzz corpus: only $nonEmpty/30 non-empty results")
+    assert(JsonPipeline.extract(spark, varDir).collect().map(_.getString(1)).toSeq ==
+      JsonPipeline.extract(spark, rowDir).collect().map(_.getString(1)).toSeq)
+  }
+
   test("structurize-arrays: nested arrays and object elements route end-to-end") {
     // the child type markers of a structurized array are value-less; a
     // nested array among them must not be fed to the shape parser
