@@ -76,6 +76,39 @@ class ClpPipelineSpec extends SparkSpecBase {
     assert(res2.turnsIn == result.turnsIn && res2.rowsRouted == result.rowsRouted)
   }
 
+  test("crash mid-stage resumes to an archive identical to an uninterrupted run") {
+    result // reference: the uninterrupted archive in outDir
+    val out2 = Files.createTempDirectory("graft-pipe-crash").toString
+    val cfg2 = cfg.copy(outDir = out2, keepParsed = true)
+    ClpPipeline.run(spark, turns, cfg2)
+    // simulate dying mid-route: the route/stats manifests were never
+    // written, the routed dir holds a half-finished attempt (some files
+    // missing, one orphan junk part file from the dead writer)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out2/_lineage/route.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$out2/_lineage/stats.json"))
+    def partFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
+        if (f.isDirectory) partFiles(f)
+        else if (f.getName.startsWith("part-")) Seq(f) else Nil)
+    val parts = partFiles(new java.io.File(s"$out2/routed")).sortBy(_.getPath)
+    assert(parts.length > 1)
+    parts.take(parts.length / 2).foreach(f => assert(f.delete()))
+    java.nio.file.Files.write(
+      parts.last.toPath.resolveSibling("part-99999-dead-attempt.snappy.parquet"),
+      Array.fill[Byte](64)(0x5A))
+    val res = ClpPipeline.run(spark, turns, cfg2.copy(resume = true, keepParsed = false))
+    assert(res.turnsIn == result.turnsIn && res.rowsRouted == result.rowsRouted)
+    // the healed archive equals the uninterrupted one: dictionaries,
+    // per-sink stats, and byte-exact round-trip
+    def rows(dir: String, tbl: String, order: String) =
+      spark.read.parquet(s"$dir/$tbl").orderBy(order).collect().toSeq
+    assert(rows(out2, "var_dict", "var_id") == rows(outDir, "var_dict", "var_id"))
+    assert(rows(out2, "logtype_dict", "logtype_id") == rows(outDir, "logtype_dict", "logtype_id"))
+    assert(rows(out2, "sink_stats", "sink_id").map(_.toString).sorted ==
+      rows(outDir, "sink_stats", "sink_id").map(_.toString).sorted)
+    assert(ClpPipeline.roundTripViolations(spark, turns, out2).count() == 0)
+  }
+
   test("pre-metric parse manifests backfill input_rows before the checkpoint drops") {
     val out2 = Files.createTempDirectory("graft-pipe-old").toString
     val cfg2 = cfg.copy(outDir = out2, keepParsed = true)
