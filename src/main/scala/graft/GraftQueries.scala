@@ -242,6 +242,20 @@ object GraftQueries {
     })
   }
 
+  private val lakeTableCache = scala.collection.mutable.Map.empty[String, String]
+  private def lakeDocsTable(s: SparkSession, d: String): String =
+    lakeTableCache.synchronized {
+      lakeTableCache.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft-lake-docs").toString
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        // two commits: evens land in snapshot 1, odds arrive in snapshot 2 —
+        // the time-travel gate reads v1 and must not see the later commit
+        graft.pipeline.LakeTable.append(s, out, docs.filter(col("doc_id") % 2 === 0))
+        graft.pipeline.LakeTable.append(s, out, docs.filter(col("doc_id") % 2 === 1))
+        out
+      })
+    }
+
   private val jsonShredArchiveCache = scala.collection.mutable.Map.empty[String, String]
   private def jsonShredArchive(s: SparkSession, d: String): String =
     jsonShredArchiveCache.synchronized {
@@ -336,6 +350,18 @@ object GraftQueries {
       val out = jsonArchive(s, d)
       graft.pipeline.JsonPipeline
         .kqlSearch(s, out, "*.lang : en AND k >= 50", Seq("id"))
+        .orderBy("id")
+    }),
+    "lake_time_travel" -> ((s, d) => {
+      // the §7 lake shim (Iceberg write-API shape, no Iceberg jars): append
+      // commits produce numbered snapshots; reading asOf the first snapshot
+      // returns exactly its committed rows — the second commit, though
+      // already durable, is invisible at v1 (snapshot isolation)
+      val out = lakeDocsTable(s, d)
+      val total = graft.pipeline.LakeTable.read(s, out).count()
+      graft.pipeline.LakeTable.read(s, out, asOf = Some(1L))
+        .select(col("doc_id").as("id"), md5(col("text")).as("fp"),
+          lit(total).as("total_now"))
         .orderBy("id")
     }),
     "jsonl_kql_shredded" -> ((s, d) => {
@@ -1481,6 +1507,10 @@ object GraftQueries {
       """SELECT doc_id AS id FROM documents
         |WHERE doc_id % 4 = 1 AND lang = 'en' AND doc_id % 100 >= 50
         |ORDER BY id""".stripMargin,
+    "lake_time_travel" ->
+      """SELECT doc_id AS id, md5(text) AS fp,
+        |  (SELECT count(*) FROM documents) AS total_now
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin,
     "kvir_roundtrip" ->
       """SELECT doc_id AS id, md5(text) AS fp,
         |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 5 WHEN 1 THEN 7

@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * The SURVEY §7 lake shim: no Iceberg jars ship in this environment, so
+ * archive sinks are partitioned parquet managed by this thin snapshot
+ * layer that keeps Iceberg's WRITE API SHAPE — `append`/`overwrite`
+ * produce numbered snapshots whose manifests list exactly the data files
+ * that commit, readers resolve a snapshot (latest or time-travel `asOf`)
+ * and read only its files, and a crash between data-file write and commit
+ * leaves orphans that no reader ever sees. A real Iceberg catalog drops
+ * in by replacing the pointer swap with a catalog commit.
+ *
+ * Layout under `dir`:
+ *   data/<uuid>-part-*.parquet      immutable data files (never rewritten)
+ *   _snapshots/v<id>.json           manifest: files + rows + schema JSON
+ *   _snapshots/CURRENT              pointer file holding the committed id
+ *
+ * Commit protocol (single writer, the reference's per-archive model):
+ * write data files → write manifest v(N+1) → atomically swap CURRENT
+ * (rename, atomic on HDFS/local; an object store would use the catalog
+ * swap instead, as Iceberg does). Readers load CURRENT → manifest → files;
+ * any crash before the swap is invisible. Unreferenced files from crashed
+ * attempts or expired snapshots are reclaimed by [[expire]].
+ */
+object LakeTable {
+
+  final case class Snapshot(id: Long, files: Seq[String], rows: Long,
+                            schemaJson: String)
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def asNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def currentId(spark: SparkSession, dir: String): Option[Long] = {
+    val cur = new Path(s"$dir/_snapshots/CURRENT")
+    val f = fs(spark, cur)
+    if (!f.exists(cur)) None
+    else {
+      val in = f.open(cur)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  def snapshot(spark: SparkSession, dir: String, asOf: Option[Long] = None): Option[Snapshot] = {
+    val id = asOf.orElse(currentId(spark, dir)).getOrElse(return None)
+    val mf = new Path(f"$dir/_snapshots/v$id%08d.json")
+    val f = fs(spark, mf)
+    if (!f.exists(mf))
+      throw new IllegalArgumentException(s"no snapshot $id in $dir")
+    val in = f.open(mf)
+    val json = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      StandardCharsets.UTF_8) finally in.close()
+    // manifest fields are this file's own writes — a flat regex parse keeps
+    // the shim dependency-free (same trade as Lineage manifests)
+    val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    val files = """"file":\s*"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toSeq
+    val schema = """"schema":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json).get.group(1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+    Some(Snapshot(id, files, rows, schema))
+  }
+
+  /** All committed snapshot ids, ascending. */
+  def snapshots(spark: SparkSession, dir: String): Seq[Long] = {
+    val sd = new Path(s"$dir/_snapshots")
+    val f = fs(spark, sd)
+    if (!f.exists(sd)) Nil
+    else f.listStatus(sd).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
+  def append(spark: SparkSession, dir: String, df: DataFrame): Long =
+    commit(spark, dir, df, keepPrevFiles = true)
+
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame): Long =
+    commit(spark, dir, df, keepPrevFiles = false)
+
+  private def commit(spark: SparkSession, dir: String, df: DataFrame,
+                     keepPrevFiles: Boolean): Long = {
+    val prev = snapshot(spark, dir)
+    // data files are immutable and uniquely named: each commit writes into
+    // its own staging subdir (one rename-free parquet job), then the
+    // manifest adopts the file names — no file of a previous snapshot is
+    // ever touched, so concurrent readers of older snapshots stay correct
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$dir/data/$commitId"
+    df.write.parquet(staging)
+    val stPath = new Path(staging)
+    val f = fs(spark, stPath)
+    val newFiles = f.listStatus(stPath).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
+      .map(p => s"data/$commitId/${p.getName}").toSeq.sorted
+    val newRows = spark.read.schema(df.schema)
+      .parquet(newFiles.map(n => s"$dir/$n"): _*).count()
+    val files = (if (keepPrevFiles) prev.map(_.files).getOrElse(Nil) else Nil) ++ newFiles
+    val rows = (if (keepPrevFiles) prev.map(_.rows).getOrElse(0L) else 0L) + newRows
+    val id = prev.map(_.id).getOrElse(0L) + 1L
+    // Spark reads file sources as nullable regardless of the writer's
+    // schema — store the relaxed form so read-back equals the manifest
+    val schemaEsc = asNullable(df.schema).json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val manifest =
+      s"""{"snapshot": $id, "rows": $rows, "schema": "$schemaEsc",
+         | "manifest_entries": [${files.map(x => s"""{"file": "$x"}""").mkString(", ")}]}""".stripMargin
+    val mf = new Path(f"$dir/_snapshots/v$id%08d.json")
+    f.mkdirs(mf.getParent)
+    val out = f.create(mf, true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // the commit point: CURRENT flips via write-temp + overwrite-rename —
+    // FileContext.rename(OVERWRITE) is atomic on HDFS and posix local, so a
+    // reader sees the old pointer or the new one, never an absent/partial
+    // file (an Iceberg catalog replaces exactly this swap)
+    val tmp = new Path(s"$dir/_snapshots/.CURRENT.$commitId")
+    val o2 = f.create(tmp, true)
+    try o2.write(id.toString.getBytes(StandardCharsets.UTF_8)) finally o2.close()
+    val cur = new Path(s"$dir/_snapshots/CURRENT")
+    org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    id
+  }
+
+  /** Read the table at the committed snapshot (`asOf` for time travel).
+    * An uncommitted dir reads as an empty, schema-less error — callers
+    * create tables by committing, same as a catalog. */
+  def read(spark: SparkSession, dir: String, asOf: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, dir, asOf)
+      .getOrElse(throw new IllegalArgumentException(s"no committed snapshot in $dir"))
+    val schema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    if (s.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(s.files.map(n => s"$dir/$n"): _*)
+  }
+
+  /** Reclaim space: drop all snapshots but the newest `keepLast` and delete
+    * every data file no retained snapshot references — including orphans
+    * from crashed commits (staged files whose manifest never committed). */
+  def expire(spark: SparkSession, dir: String, keepLast: Int = 1): Unit = {
+    val ids = snapshots(spark, dir)
+    if (ids.isEmpty) return
+    val keep = ids.takeRight(math.max(keepLast, 1)).toSet
+    val live: Set[String] = keep.flatMap(id =>
+      snapshot(spark, dir, Some(id)).map(_.files.toSet).getOrElse(Set.empty[String]))
+    val dataDir = new Path(s"$dir/data")
+    val f = fs(spark, dataDir)
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, true)
+      val doomed = scala.collection.mutable.Buffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(
+          f.makeQualified(new Path(dir)).toString).stripPrefix("/")
+        if (st.isFile && !live.contains(rel)) doomed += st.getPath
+      }
+      doomed.foreach(f.delete(_, false))
+      // staging subdirs emptied above (crashed attempts, expired commits)
+      f.listStatus(dataDir).iterator.filter(_.isDirectory)
+        .filter(d => f.listStatus(d.getPath).isEmpty)
+        .foreach(d => f.delete(d.getPath, false))
+    }
+    ids.filterNot(keep).foreach(id =>
+      f.delete(new Path(f"$dir/_snapshots/v$id%08d.json"), false))
+  }
+}
