@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * (`components/clp-py-utils/clp_py_utils/clp_metadata_db_utils.py:34-52`:
   * `archives(begin_timestamp, end_timestamp, uncompressed_size, …)`, and the
   * compression scheduler that opens one archive per job) re-expressed as a
-  * tiny parquet table next to the archive directories it indexes.
+  * tiny snapshot-versioned [[LakeTable]] next to the archive directories it
+  * indexes: each archive registers itself with an atomic [[appendEntry]]
+  * commit, and searches can pin the fleet as-of a catalog snapshot.
   *
   * Ingest writes one CLP archive per slice value plus one catalog row with
   * that archive's timestamp bounds and message count (rolled up from its
@@ -46,27 +48,40 @@ object ClpCatalog {
         ClpPipeline.Config(s"$outDir/archives/arch_$sl",
           maxSinks = maxSinks, saltParts = saltParts))
     }
-    // one catalog row per archive: ts bounds + row count rolled up from the
-    // archive's own sink_stats (metadata-only, no data scan). An empty
-    // corpus still writes an (empty) catalog, matching the batch pipeline's
-    // empty-input contract — search over it answers zero rows, not an error.
+    // snapshot 1 is the empty catalog (creates the table + schema); each
+    // archive then registers itself through appendEntry — an empty corpus
+    // still commits a valid catalog, matching the batch pipeline's
+    // empty-input contract (search over it answers zero rows, not an error)
     val emptyCatalog = spark.range(0).select(
       lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
       lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"))
-    val entries = slices.map { sl =>
-      spark.read.parquet(s"$outDir/archives/arch_$sl/sink_stats")
-        .agg(min(col("min_ts")).as("begin_ts"), max(col("max_ts")).as("end_ts"),
-          sum(col("n_rows")).cast("long").as("n_messages"))
-        .withColumn("archive_id", lit(s"arch_$sl"))
-    }.foldLeft(emptyCatalog)((acc, e) =>
-      acc.unionByName(e.select("archive_id", "begin_ts", "end_ts", "n_messages")))
-    entries.coalesce(1).write.mode("overwrite").parquet(s"$outDir/catalog")
+    LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog)
+    slices.foreach(sl => appendEntry(spark, outDir, s"arch_$sl"))
   }
 
-  /** Catalog rows as (archive_id, begin, end) — the fleet timestamp index. */
-  def entries(spark: SparkSession, outDir: String)
+  /** Register one finished archive in the fleet catalog: roll its ts bounds
+    * + message count up from its own `sink_stats` (metadata-only, no data
+    * scan) and commit the row as a [[LakeTable]] append — the registration
+    * is ATOMIC (a crashed registration is invisible, rerun-safe) and the
+    * catalog is snapshot-versioned, so a fleet search can pin the set of
+    * archives as-of a snapshot while ingest keeps registering new ones.
+    * This is the production path (the reference's scheduler registers each
+    * compression job's archive in the metadata DB as it completes);
+    * [[ingest]]'s per-slice loop is the test-harness shape. */
+  def appendEntry(spark: SparkSession, outDir: String, archiveId: String): Long = {
+    val entry = spark.read.parquet(s"$outDir/archives/$archiveId/sink_stats")
+      .agg(min(col("min_ts")).as("begin_ts"), max(col("max_ts")).as("end_ts"),
+        sum(col("n_rows")).cast("long").as("n_messages"))
+      .withColumn("archive_id", lit(archiveId))
+      .select("archive_id", "begin_ts", "end_ts", "n_messages")
+    LakeTable.append(spark, s"$outDir/catalog", entry)
+  }
+
+  /** Catalog rows as (archive_id, begin, end) — the fleet timestamp index,
+    * read at the committed snapshot (or `asOf` an older one). */
+  def entries(spark: SparkSession, outDir: String, asOf: Option[Long] = None)
       : Array[(String, java.sql.Timestamp, java.sql.Timestamp)] =
-    spark.read.parquet(s"$outDir/catalog")
+    LakeTable.read(spark, s"$outDir/catalog", asOf)
       .select("archive_id", "begin_ts", "end_ts").collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
 
@@ -74,8 +89,9 @@ object ClpCatalog {
     * the catalog alone, before any archive directory is opened. */
   def admissibleArchives(spark: SparkSession, outDir: String,
                          tsLo: Option[java.sql.Timestamp],
-                         tsHi: Option[java.sql.Timestamp]): Seq[String] =
-    entries(spark, outDir).collect {
+                         tsHi: Option[java.sql.Timestamp],
+                         asOf: Option[Long] = None): Seq[String] =
+    entries(spark, outDir, asOf).collect {
       // null bounds (an archive whose turns all lack timestamps) cannot be
       // pruned by time — such an archive is always admissible, same as the
       // sink-level rule in ClpSearch
@@ -90,8 +106,9 @@ object ClpCatalog {
   def search(spark: SparkSession, outDir: String, query: String,
              caseSensitive: Boolean = true,
              tsLo: Option[java.sql.Timestamp] = None,
-             tsHi: Option[java.sql.Timestamp] = None): DataFrame = {
-    val admissible = admissibleArchives(spark, outDir, tsLo, tsHi)
+             tsHi: Option[java.sql.Timestamp] = None,
+             asOf: Option[Long] = None): DataFrame = {
+    val admissible = admissibleArchives(spark, outDir, tsLo, tsHi, asOf)
     if (admissible.isEmpty) graft.search.ClpSearch.emptyResults(spark)
     else admissible.map { id =>
       new graft.search.ClpSearch(spark, s"$outDir/archives/$id")

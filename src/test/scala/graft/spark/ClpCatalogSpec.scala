@@ -34,7 +34,7 @@ class ClpCatalogSpec extends SparkSpecBase {
   }
 
   test("ingest writes one archive per slice and an exact catalog") {
-    val cat = spark.read.parquet(s"$catalogDir/catalog").collect()
+    val cat = graft.pipeline.LakeTable.read(spark, s"$catalogDir/catalog").collect()
     assert(cat.length == 4)
     assert(cat.map(_.getAs[Long]("n_messages")).sum == 400)
     // archive 1 owns exactly [100 s, 200 s)
@@ -55,7 +55,7 @@ class ClpCatalogSpec extends SparkSpecBase {
   test("an empty corpus writes an empty catalog and search answers zero rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-cat-empty").toString
     ClpCatalog.ingest(spark, turns.limit(0), floor(col("turn_idx") / 5), out)
-    assert(spark.read.parquet(s"$out/catalog").count() == 0)
+    assert(graft.pipeline.LakeTable.read(spark, s"$out/catalog").count() == 0)
     assert(ClpCatalog.search(spark, out, "*").count() == 0)
   }
 
@@ -67,7 +67,7 @@ class ClpCatalogSpec extends SparkSpecBase {
       turns.limit(2).withColumn("ts", lit(null).cast("timestamp")))
     ClpCatalog.ingest(spark, withNulls,
       date_trunc("minute", col("ts")).cast("string"), out)
-    val cat = spark.read.parquet(s"$out/catalog").collect()
+    val cat = graft.pipeline.LakeTable.read(spark, s"$out/catalog").collect()
     assert(cat.map(_.getAs[Long]("n_messages")).sum == 22)
     // the null-slice archive exists and its bounds are null
     val nullArch = cat.find(r => r.isNullAt(r.fieldIndex("begin_ts")))
@@ -77,6 +77,24 @@ class ClpCatalogSpec extends SparkSpecBase {
     assert(ClpCatalog.admissibleArchives(spark, out, Some(ts(0)), Some(ts(5)))
       .contains(nullArch.get.getAs[String]("archive_id")))
     assert(ClpCatalog.search(spark, out, "* code=c1*", tsLo = Some(ts(0))).count() >= 0)
+  }
+
+  test("registration is snapshot-versioned: search pins the fleet as-of a snapshot") {
+    catalogDir // force: 1 empty commit + 4 appendEntry commits = snapshots 1..5
+    assert(graft.pipeline.LakeTable.snapshots(spark, s"$catalogDir/catalog") ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    // as-of snapshot 3, only the first two archives were registered — an
+    // unbounded search sees exactly their rows, though all 4 are durable
+    assert(ClpCatalog.admissibleArchives(spark, catalogDir, None, None,
+      asOf = Some(3L)) == Seq("arch_0", "arch_1"))
+    assert(ClpCatalog.search(spark, catalogDir, "*", asOf = Some(3L)).count() == 200)
+    assert(ClpCatalog.search(spark, catalogDir, "*").count() == 400)
+    // a crashed registration (data staged, never committed) is invisible
+    spark.range(1).selectExpr("'ghost' AS archive_id",
+        "CAST(NULL AS timestamp) AS begin_ts", "CAST(NULL AS timestamp) AS end_ts",
+        "CAST(99 AS long) AS n_messages")
+      .write.parquet(s"$catalogDir/catalog/data/dead-reg")
+    assert(!ClpCatalog.entries(spark, catalogDir).exists(_._1 == "ghost"))
   }
 
   test("cross-archive union search equals one archive over the whole corpus") {
