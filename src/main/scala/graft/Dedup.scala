@@ -142,6 +142,40 @@ object Dedup {
    * co-bucketed in ANY table; the exact cosine kernel verifies candidates.
    * Recall ≈ 1-(1-p^k)^L where p = 1 - θ/π.
    */
+  /**
+   * Semantic dedup (SemDeDup, arXiv:2303.09540 — the k-means-then-prune
+   * curation step LLM pipelines run over embedding spaces): cluster the
+   * normalized embeddings with spherical k-means ([[KnnIvf.trainCentroids]]),
+   * generate candidate pairs ONLY within a cell (the 100 TB shape — the
+   * pair join is keyed on `cell`, never all-pairs), verify each candidate
+   * with the exact codegen'd-cosine kernel, and keep one canonical member
+   * (component minimum) per duplicate component. Returns the kept ids.
+   *
+   * `nlist = 1` degenerates to exact semantic dedup (every pair compared) —
+   * the oracle-checked kernel; larger `nlist` trades recall on cross-cell
+   * pairs for per-cell work, the same subset-of-exact contract as the LSH
+   * family (asserted in `SemanticDedupSpec`).
+   */
+  def semanticKeep(emb: DataFrame, idCol: String, embCol: String,
+                   nlist: Int, iters: Int, cosMin: Double): DataFrame = {
+    require(cosMin > 0, s"cosMin must be positive, got $cosMin")
+    val centroids = KnnIvf.trainCentroids(emb, idCol, embCol, nlist, iters)
+    val cells = KnnIvf.index(emb, embCol, centroids)
+      .select(col(idCol).as("id"), KnnIvf.normalized(col(embCol)).as("e"), col("cell"))
+      // zero embeddings have no direction: cosMin > 0 can never drop them,
+      // so skip the pair join entirely (same guard as embeddingLshPairs)
+      .filter(vec_dot(col("e"), col("e")) > 0)
+    val a = cells.select(col("cell"), col("id").as("a_id"), col("e").as("a_e"))
+    val b = cells.select(col("cell"), col("id").as("b_id"), col("e").as("b_e"))
+    val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .filter(round(vec_dot(col("a_e"), col("b_e")), 4) >= cosMin)
+      .select("a_id", "b_id")
+    val drop = connectedComponents(pairs, "a_id", "b_id")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id"))
+    emb.select(col(idCol).as("id")).join(drop, Seq("id"), "left_anti")
+  }
+
   def embeddingLshPairs(emb: DataFrame, tables: Int, planesPerTable: Int,
                         seed: Long, cosMin: Double): DataFrame = {
     // cosMin > 0 lets zero vectors (undefined cosine, normalized to zero) be

@@ -1249,6 +1249,25 @@ object GraftQueries {
       t(s, d, "documents").join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars")).orderBy("doc_id")
     }),
+    "dedup_semantic_all" -> ((s, d) =>
+      // SemDeDup's exact kernel (nlist=1: one cell = every pair compared):
+      // cosine pairs >= 0.4 → connected components → keep the component
+      // minimum. Oracle recomputes it with list_cosine_similarity + a
+      // recursive reachability CTE (same pattern as dedup_keep_canonical).
+      graft.Dedup.semanticKeep(t(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 1, iters = 1, cosMin = 0.4).orderBy("id")),
+    "dedup_semantic" -> ((s, d) =>
+      // the scaled shape (rows-only: k-means isn't SQL-expressible):
+      // spherical k-means cells, pair join keyed on cell — candidates only
+      // within a cell, the exact kernel per candidate. SemanticDedupSpec
+      // asserts kept ⊇ the exact kernel's kept set and a drop-recall floor.
+      // nlist=4 is the demo size for this corpus (its near-dups sit at
+      // cos≈0.4, far below the ≥0.9 SemDeDup operating point where
+      // duplicates co-locate in a cell almost surely — same demo-width
+      // trade as the 4-plane LSH gates); production tunes nlist to corpus
+      // size and raises cosMin, which only tightens co-location.
+      graft.Dedup.semanticKeep(t(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 4, iters = 4, cosMin = 0.4).orderBy("id")),
     "dedup_minhash_pairs" -> ((s, d) => {
       // full MinHash+LSH dedup: band → bucket join → exact-jaccard verify.
       // Bands of 1 row over 4 sigs, verify j >= 0.2. Oracle: with r=1 the
@@ -1948,6 +1967,20 @@ object GraftQueries {
         |ORDER BY doc_id""".stripMargin,
     "ir_roundtrip" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1",
+    "dedup_semantic_all" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4),
+        |e AS (SELECT a_id AS es, b_id AS ed FROM p
+        |  UNION SELECT b_id, a_id FROM p),
+        |r(id, lbl) AS (
+        |  SELECT es, es FROM e
+        |  UNION
+        |  SELECT e.ed, r.lbl FROM r JOIN e ON e.es = r.id),
+        |drop AS (SELECT id FROM r GROUP BY id HAVING id <> min(lbl))
+        |SELECT vec_id AS id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM drop) ORDER BY id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos

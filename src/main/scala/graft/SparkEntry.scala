@@ -17,8 +17,9 @@ object SparkEntry {
   /** DuckDB-runnable oracle per query. The LSH/banding queries recompute
     * their deterministic plane/signature sets inside the SQL (inlined
     * DOUBLE[] literals / per-band equality joins), so the only rows-only
-    * query left is knn_ivf at nProbe=2 (k-means isn't SQL-expressible);
-    * its probe-all twin knn_ivf_all IS oracle-checked against brute force,
-    * and KnnIvfSpec asserts recall at nProbe. */
+    * queries left are the two whose non-SQL step is k-means: knn_ivf at
+    * nProbe=2 and dedup_semantic at nlist=4. Their exact twins
+    * (knn_ivf_all, dedup_semantic_all) ARE oracle-checked, and
+    * KnnIvfSpec / SemanticDedupSpec assert recall. */
   def oracleSql: Map[String, String] = GraftQueries.oracleSql
 }
