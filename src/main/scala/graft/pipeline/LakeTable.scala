@@ -96,6 +96,14 @@ object LakeTable {
   private def commit(spark: SparkSession, dir: String, df: DataFrame,
                      keepPrevFiles: Boolean): Long = {
     val prev = snapshot(spark, dir)
+    // an append whose schema drifts from the table's would read back as
+    // silent nulls over the old files — refuse it (schema evolution is a
+    // real catalog's job); overwrite replaces the file set, so it may
+    // change the schema freely
+    if (keepPrevFiles) prev.filter(_.files.nonEmpty).foreach { p =>
+      require(asNullable(df.schema).json == p.schemaJson,
+        s"append schema ${df.schema.simpleString} does not match table $dir")
+    }
     // data files are immutable and uniquely named: each commit writes into
     // its own staging subdir (one rename-free parquet job), then the
     // manifest adopts the file names — no file of a previous snapshot is

@@ -66,6 +66,19 @@ class LakeTableSpec extends SparkSpecBase {
     }
   }
 
+  test("append refuses schema drift; overwrite may change the schema") {
+    val dir = Files.createTempDirectory("graft-lake-drift").toString
+    LakeTable.append(spark, dir, spark.range(0, 5).toDF("id"))
+    intercept[IllegalArgumentException] {
+      LakeTable.append(spark, dir, spark.range(0, 5).select(col("id").cast("int").as("id")))
+    }
+    // refused before anything staged — the table is untouched
+    assert(LakeTable.read(spark, dir).count() == 5)
+    val v = LakeTable.overwrite(spark, dir,
+      Seq(("x", 1)).toDF("name", "n"))
+    assert(LakeTable.read(spark, dir).columns.toSeq == Seq("name", "n") && v == 2L)
+  }
+
   test("schema round-trips through the manifest; empty commits read back typed") {
     val dir = Files.createTempDirectory("graft-lake-schema").toString
     val df = Seq((1L, "a \"quoted\" name", 1.5)).toDF("id", "s", "x")
