@@ -573,22 +573,32 @@ case class VecNormalizeExpr(child: Expression) extends UnaryExpression {
 
 /** Registration + Column-API façade for the CLP expressions. */
 object ClpFunctions {
+
+  /** (name, builder) table — the single source of truth behind BOTH
+    * registration paths: session-scoped [[register]] (temp functions) and
+    * cluster-wide injection via [[graft.GraftExtensions]]
+    * (`spark.sql.extensions`). One table, so the two paths cannot drift. */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "clp_encode" -> (es => ClpEncodeExpr(es.head)),
+    "clp_decode" -> (es => ClpDecodeExpr(es(0), es(1), es(2))),
+    "wildcard_match" -> (es =>
+      WildcardMatchExpr(es(0), es(1), if (es.size > 2) es(2) else Literal(true))),
+    "subseq_match" -> (es => SubseqMatchExpr(es(0), es(1))),
+    "clp_merge_vars" -> (es => ClpMergeVarsExpr(es(0), es(1), es(2))),
+    "clp_split_vars" -> (es => ClpSplitVarsExpr(es(0), es(1))),
+    "simhash64" -> (es => Simhash64Expr(es(0), es(1))),
+    "ts_pattern_parse" -> (es => TsPatternParseExpr(es.head)),
+    "ts_pattern_format" -> (es => TsPatternFormatExpr(es(0), es(1))),
+    "vec_dot" -> (es => VecDotExpr(es(0), es(1))),
+    "vec_sq8" -> (es => VecSq8Expr(es(0), es(1))),
+    "vec_qdot" -> (es => VecQDotExpr(es(0), es(1))),
+    "vec_normalize" -> (es => VecNormalizeExpr(es.head)))
+
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
-    r.createOrReplaceTempFunction("clp_encode", es => ClpEncodeExpr(es.head), "built-in")
-    r.createOrReplaceTempFunction("clp_decode", es => ClpDecodeExpr(es(0), es(1), es(2)), "built-in")
-    r.createOrReplaceTempFunction("wildcard_match", es =>
-      WildcardMatchExpr(es(0), es(1), if (es.size > 2) es(2) else Literal(true)), "built-in")
-    r.createOrReplaceTempFunction("subseq_match", es => SubseqMatchExpr(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("clp_merge_vars", es => ClpMergeVarsExpr(es(0), es(1), es(2)), "built-in")
-    r.createOrReplaceTempFunction("clp_split_vars", es => ClpSplitVarsExpr(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("simhash64", es => Simhash64Expr(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("ts_pattern_parse", es => TsPatternParseExpr(es.head), "built-in")
-    r.createOrReplaceTempFunction("ts_pattern_format", es => TsPatternFormatExpr(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("vec_dot", es => VecDotExpr(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("vec_sq8", es => VecSq8Expr(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("vec_qdot", es => VecQDotExpr(es(0), es(1)), "built-in")
-    r.createOrReplaceTempFunction("vec_normalize", es => VecNormalizeExpr(es.head), "built-in")
+    builders.foreach { case (name, b) =>
+      r.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   def clp_encode(text: Column): Column = call_function("clp_encode", text)
