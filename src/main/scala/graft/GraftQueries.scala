@@ -809,6 +809,33 @@ object GraftQueries {
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "text_unigram_logprob" -> ((s, d) => {
+      // CCNet-shape LM quality scoring: a model trained ON the corpus scores
+      // each document's mean token log-probability; improbable token streams
+      // (boilerplate, garbled text) score low and get filtered. CCNet's
+      // KenLM 5-gram isn't in this container, so the model is the corpus
+      // unigram LM — but the Spark shape is the production one: pass 1
+      // aggregates the vocabulary distributed (map-side partial counts),
+      // pass 2 joins the model back onto the token stream (AQE picks
+      // broadcast vs shuffle by the REAL vocab size) and the corpus total
+      // rides a one-row broadcast — no driver-side model, no collect.
+      // score = sum(ln cnt)/n - ln(total); round(4) absorbs engine-order
+      // FP noise in the sum, same contract as the cosine gates.
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      toks.join(vocab, "tok")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          sum(log(col("cnt").cast("double"))).as("_sumlog"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("_sumlog") / col("n_tokens")
+            - log(col("total").cast("double")), 4).as("logprob"))
+        .orderBy("doc_id")
+    }),
     "text_rep_ratio" -> ((s, d) => {
       // within-doc repetition signal (the Gopher-style repetition filter):
       // duplicate 3-gram fraction per doc, integer-exact — flag_rep is
@@ -1817,6 +1844,16 @@ object GraftQueries {
          |WHERE ${sqlHash("'sample:'||CAST(doc_id AS VARCHAR)")} % 100 <
          |  (CASE WHEN lang='en' THEN 50 WHEN lang='fr' THEN 80 ELSE 100 END)
          |ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(ln(cnt)) / count(*) - ln((SELECT total FROM tot)), 4) AS logprob
+        |FROM t2 JOIN vocab USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_rep_ratio" ->
       s"""$sqlShinglesCte
          |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,

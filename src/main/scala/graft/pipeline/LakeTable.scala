@@ -123,12 +123,19 @@ object LakeTable {
     val id = prev.map(_.id).getOrElse(0L) + 1L
     // Spark reads file sources as nullable regardless of the writer's
     // schema — store the relaxed form so read-back equals the manifest
-    val schemaEsc = asNullable(df.schema).json
-      .replace("\\", "\\\\").replace("\"", "\\\"")
+    commitManifest(spark, dir, id, files, rows, asNullable(df.schema).json, commitId)
+    id
+  }
+
+  private def commitManifest(spark: SparkSession, dir: String, id: Long,
+                             files: Seq[String], rows: Long, schemaJson: String,
+                             commitId: String): Unit = {
+    val schemaEsc = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
     val manifest =
       s"""{"snapshot": $id, "rows": $rows, "schema": "$schemaEsc",
          | "manifest_entries": [${files.map(x => s"""{"file": "$x"}""").mkString(", ")}]}""".stripMargin
     val mf = new Path(f"$dir/_snapshots/v$id%08d.json")
+    val f = fs(spark, mf)
     f.mkdirs(mf.getParent)
     val out = f.create(mf, true)
     try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -143,6 +150,53 @@ object LakeTable {
     org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri,
         spark.sparkContext.hadoopConfiguration)
       .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Bin-pack small data files into ~`targetBytes` files and commit the
+    * result as a NEW snapshot with identical content — the maintenance op a
+    * streaming-append table needs at scale (each micro-batch commit lands a
+    * few small files; unmaintained, a year of 30 s batches is 10^6 files
+    * whose per-file open/footer cost dominates every scan). Files at or
+    * above `smallBytes` are adopted untouched (never rewritten — compaction
+    * cost is proportional to the SMALL tail, not the table); files below it
+    * are read once and rewritten `coalesce`d (no shuffle) into
+    * ceil(smallTotal / targetBytes) outputs. Readers of older snapshots are
+    * unaffected (the replaced files stay on disk until [[expire]]); a crash
+    * mid-compaction leaves only invisible staged files, same as any commit.
+    *
+    * Returns the new snapshot id, or the current one if fewer than two
+    * files qualify (nothing to pack). */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20, smallBytes: Long = 96L << 20): Long = {
+    val prev = snapshot(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $dir"))
+    val f = fs(spark, new Path(dir))
+    val sized = prev.files.map(rel =>
+      rel -> f.getFileStatus(new Path(s"$dir/$rel")).getLen)
+    val (small, kept) = sized.partition(_._2 < smallBytes)
+    if (small.size < 2) return prev.id
+    val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+    val smallTotal = small.map(_._2).sum
+    val nOut = math.max(1L, (smallTotal + targetBytes - 1) / targetBytes).toInt
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$dir/data/$commitId"
+    spark.read.schema(schema).parquet(small.map(s => s"$dir/${s._1}"): _*)
+      .coalesce(nOut).write.parquet(staging)
+    val stPath = new Path(staging)
+    val newFiles = f.listStatus(stPath).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
+      .map(p => s"data/$commitId/${p.getName}").toSeq.sorted
+    // row-preservation audit before the commit ever becomes visible — both
+    // counts are parquet-footer metadata reads, no data scan
+    val newRows = spark.read.schema(schema)
+      .parquet(newFiles.map(n => s"$dir/$n"): _*).count()
+    val keptRows = if (kept.isEmpty) 0L
+      else spark.read.schema(schema).parquet(kept.map(k => s"$dir/${k._1}"): _*).count()
+    require(newRows + keptRows == prev.rows,
+      s"compaction row mismatch in $dir: ${newRows + keptRows} != ${prev.rows}")
+    val id = prev.id + 1L
+    commitManifest(spark, dir, id, (kept.map(_._1) ++ newFiles).sorted,
+      prev.rows, prev.schemaJson, commitId)
     id
   }
 

@@ -79,6 +79,30 @@ class LakeTableSpec extends SparkSpecBase {
     assert(LakeTable.read(spark, dir).columns.toSeq == Seq("name", "n") && v == 2L)
   }
 
+  test("compact bin-packs the small-file tail into a content-identical snapshot") {
+    val dir = Files.createTempDirectory("graft-lake-compact").toString
+    // four micro-batch-ish appends, 3 files each: the streaming sprawl shape
+    (0 until 4).foreach(i => LakeTable.append(spark, dir,
+      spark.range(i * 25L, (i + 1) * 25L).toDF("id").repartition(3)))
+    assert(LakeTable.snapshot(spark, dir).get.files.size == 12)
+    // nothing qualifies below 1 byte — no-op, no new snapshot
+    assert(LakeTable.compact(spark, dir, smallBytes = 1L) == 4L)
+    val cid = LakeTable.compact(spark, dir, targetBytes = 64L << 20, smallBytes = 1L << 20)
+    assert(cid == 5L)
+    val after = LakeTable.snapshot(spark, dir).get
+    assert(after.files.size == 1 && after.rows == 100)
+    assert(LakeTable.read(spark, dir).as[Long].collect().sorted.toSeq == (0L until 100L))
+    // the pre-compaction snapshot still time-travels to the same content
+    assert(LakeTable.read(spark, dir, asOf = Some(4L)).as[Long].collect().sorted.toSeq ==
+      (0L until 100L))
+    // replaced files live until expire reclaims the old snapshots
+    LakeTable.expire(spark, dir, keepLast = 1)
+    assert(LakeTable.read(spark, dir).as[Long].collect().sorted.toSeq == (0L until 100L))
+    intercept[IllegalArgumentException] { LakeTable.read(spark, dir, asOf = Some(4L)) }
+    // one big file left: compacting again is a no-op at the same snapshot
+    assert(LakeTable.compact(spark, dir, smallBytes = 1L << 20) == 5L)
+  }
+
   test("schema round-trips through the manifest; empty commits read back typed") {
     val dir = Files.createTempDirectory("graft-lake-schema").toString
     val df = Seq((1L, "a \"quoted\" name", 1.5)).toDF("id", "s", "x")
