@@ -970,6 +970,30 @@ object GraftQueries {
             lit(":"), col("epoch").cast("string"))) % 1000000L)
         .orderBy("doc_id", "epoch")
     }),
+    "mix_temperature" -> ((s, d) => {
+      // temperature-based domain mixing (the multilingual-pretraining
+      // recipe: sampling weight ∝ n^α flattens the domain distribution):
+      // unlike mix_epochs' FIXED schedule, the per-language epoch count
+      // derives FROM the data — epochs_l = floor(sqrt(c·n_max/n_l)) at
+      // α=0.5, c=4 — so rare domains upsample toward the tempered
+      // distribution automatically. Two-pass shape: a tiny count aggregate,
+      // broadcast back onto the corpus, per-row explode. The epoch math is
+      // one IEEE chain on two integers (multiply → divide → sqrt → floor;
+      // sqrt is bit-exact by IEEE-754, unlike pow) — identical on any
+      // engine and any row order, so no FP-sum nondeterminism can flip a
+      // count.
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val nMax = counts.agg(max("n").as("nm"))
+      val epochs = counts.crossJoin(broadcast(nMax))
+        .select(col("lang"),
+          floor(sqrt(lit(4.0) * col("nm") / col("n"))).as("epochs"))
+      docs.join(broadcast(epochs), "lang")
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0L), col("epochs") - 1)).as("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     "pack_sequences" -> ((s, d) => {
       // context-window packing (concat-then-chunk): docs are sharded by a
       // salted hash, concatenated in deterministic order within each shard,
@@ -1011,6 +1035,45 @@ object GraftQueries {
           concat_ws(" ", transform(sort_array(collect_list(struct(col("pos"), col("chunk")))),
             x => x.getField("chunk"))).as("clean"))
         .orderBy("doc_id")
+    }),
+
+    "dedup_substring" -> ((s, d) => {
+      // Substring-level dedup (Lee et al. 2022, arXiv:2107.06499): any
+      // k-token window shared by >=2 DISTINCT documents marks its tokens as
+      // duplicated, and overlapping/adjacent duplicated windows merge into
+      // maximal per-doc token spans — the ranges a trainer cuts before
+      // training. The paper's suffix array is a single-machine structure;
+      // the distributed equivalent is this window-hash shuffle: one explode
+      // into (doc_id, pos, h) where h is an 8-byte gram hash (fixed-width
+      // shuffle key — the gram TEXT never rides a shuffle), one
+      // count-distinct aggregate, a semi-join back, and a window-function
+      // island merge. Every stage is a plain keyed shuffle; no driver
+      // state, no all-pairs. Hash collisions are a non-issue for the gate:
+      // both engines compute the SAME md5-derived key, so any collision is
+      // shared. k=8; span bounds are 1-based inclusive token indices.
+      val k = 8
+      val words = split(col("text"), " ")
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(when(size(words) >= k,
+            transform(sequence(lit(1), size(words) - (k - 1)),
+              i => mdHash(concat_ws(" ", slice(words, i, lit(k))))))
+            .otherwise(array().cast("array<long>"))).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      val dup = grams.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      grams.join(dup.select("h"), Seq("h"), "left_semi")
+        .withColumn("brk",
+          when(col("pos") - lag("pos", 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+        .withColumn("island", sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) + (k - 1)).cast("long").as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
     }),
 
     "text_c4_filters" -> ((s, d) => {
@@ -1348,6 +1411,29 @@ object GraftQueries {
         sdf.filter(wildcard_match(col("text"), lit("*spark*window*"), lit(true)))
           .select("doc_id", "lang"))
         .orderBy("doc_id")
+    }),
+
+    "stream_dedup" -> ((s, d) => {
+      // Online near-dup filtering under the oracle: documents stream
+      // through StreamingDedup in 3 id-ordered micro-batches at the
+      // demo-width cross-engine family (4 mdHash MinHash fns, 1-row bands;
+      // estJ >= 0.5 ⇔ >= 2 of 4 components match). Ids increase across
+      // batches, so the DuckDB one-shot rule — drop a doc iff ANY
+      // smaller-id doc matches — recomputes the entire stream, including
+      // seen-not-kept semantics (a dropped doc still suppresses its own
+      // later near-dups). StreamingDedupSpec asserts the same stream ≡
+      // batch identity at production widths (128 fns, r=2).
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+      val eng = new graft.streaming.StreamingDedup(s, dir, nFns = 4, bandRows = 1,
+        jMin = 0.5, sigsOf = Some(sh =>
+          array(MinhashFns.map { case (a, b) => minhash(sh, a, b) }: _*)))
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, Long.MaxValue))
+        .zipWithIndex.foreach { case ((lo, hi), b) =>
+          eng.processBatch(docs.filter(col("doc_id") >= lo && col("doc_id") < hi), b.toLong)
+        }
+      eng.readKept().select("doc_id").orderBy("doc_id")
     }),
 
     // ---- the full CLP pipeline as one driver-checkable identity ----
@@ -1704,6 +1790,14 @@ object GraftQueries {
     "stream_search" ->
       """SELECT doc_id, lang FROM documents
         |WHERE text LIKE '%spark%window%' ORDER BY doc_id""".stripMargin,
+    "stream_dedup" ->
+      s"""$sqlShinglesCte,
+         |sig AS (SELECT doc_id, $sqlMinhashCols FROM s),
+         |dropped AS (SELECT DISTINCT b.doc_id FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  AND (CASE WHEN a.mh0=b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END
+         |     + CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END) >= 2)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     "clp_pipeline_route" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q1_agg" ->
@@ -1854,6 +1948,22 @@ object GraftQueries {
         |  round(sum(ln(cnt)) / count(*) - ln((SELECT total FROM tot)), 4) AS logprob
         |FROM t2 JOIN vocab USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(words)-7)) AS pos,
+         |        unnest(list_transform(generate_series(1, len(words)-7),
+         |          i -> ${sqlHash("array_to_string(words[i:i+7], ' ')")})) AS h
+         |      FROM w),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+         |i AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |             THEN 0 ELSE 1 END AS brk FROM m),
+         |s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
+         |FROM s GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     "text_rep_ratio" ->
       s"""$sqlShinglesCte
          |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
@@ -1919,6 +2029,13 @@ object GraftQueries {
          |SELECT doc_id, epoch,
          |  ${sqlHash("'mix:'||CAST(doc_id AS VARCHAR)||':'||CAST(epoch AS VARCHAR)")} % 1000000 AS shuffle_key
          |FROM e ORDER BY doc_id, epoch""".stripMargin,
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT max(n) AS nm FROM c),
+        |e AS (SELECT lang, CAST(floor(sqrt(4.0 * nm / n)) AS BIGINT) AS epochs FROM c, m)
+        |SELECT d.doc_id, d.lang, unnest(range(e.epochs)) AS epoch
+        |FROM documents d JOIN e USING (lang)
+        |ORDER BY doc_id, epoch""".stripMargin,
     "pack_sequences" ->
       s"""WITH n AS (SELECT doc_id,
          |    ${sqlHash("'pack:'||CAST(doc_id AS VARCHAR)")} % 8 AS shard,

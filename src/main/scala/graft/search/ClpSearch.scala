@@ -68,15 +68,17 @@ final class ClpSearch(spark: SparkSession, outDir: String,
     * key. Mirrors [[ClpPipeline]]'s distributed encode mode. */
   private def withDecodedTextDistributed(rows: DataFrame): DataFrame = {
     val key = Seq("conv_id", "turn_idx")
-    val kindsOf = udf((lt: String) => new String(ClpPipeline.placeholderKinds(lt)))
+    // same codegen'd placeholder walk as the broadcast mode: one
+    // clp_split_vars call yields the encoded subsequence AND the dictionary
+    // ids; positions within the dict-id subsequence are enough to restore
+    // order after the join, so nothing here needs an interpreted UDF
     val withLt = rows
       .join(logtypeDictDf, Seq("logtype_id"))
-      .withColumn("kinds", kindsOf(col("logtype")))
+      .withColumn("_sv",
+        graft.functions.ClpFunctions.clp_split_vars(col("logtype"), col("vars")))
     val ex = withLt
-      .select(col("conv_id"), col("turn_idx"), col("kinds"),
-        posexplode(col("vars")).as(Seq("pos", "v")))
-      .filter(substring(col("kinds"), col("pos") + 1, lit(1)) === "d")
-      .select(col("conv_id"), col("turn_idx"), col("pos"), col("v").as("var_id"))
+      .select(col("conv_id"), col("turn_idx"),
+        posexplode(col("_sv.dict_ids")).as(Seq("pos", "var_id")))
     val hot = varDictDf.orderBy(desc("cnt"), asc("value")).limit(math.max(hotHeadSize, 0))
       .select(col("var_id"), col("value").as("hot_value"))
     val hotJoined = ex.join(broadcast(hot), Seq("var_id"), "left")
@@ -91,13 +93,10 @@ final class ClpSearch(spark: SparkSession, outDir: String,
       .agg(sort_array(collect_list(struct(col("pos"), col("value")))).as("pv"))
       .select(col("conv_id"), col("turn_idx"),
         transform(col("pv"), p => p.getField("value")).as("dict_vals"))
-    val encValsOf = udf((kinds: String, vars: Seq[Long]) =>
-      kinds.iterator.zip(vars.iterator).collect { case (k, v) if k != 'd' => v }.toSeq)
     withLt.join(dictVals, key, "left") // the single wide shuffle
-      .withColumn("text", clp_decode(col("logtype"),
-        encValsOf(col("kinds"), col("vars")),
+      .withColumn("text", clp_decode(col("logtype"), col("_sv.enc_vars"),
         coalesce(col("dict_vals"), array().cast("array<string>"))))
-      .drop("logtype", "kinds", "dict_vals")
+      .drop("logtype", "_sv", "dict_vals")
   }
 
   /** Wildcard probe of the var dictionary (Q4) — driver-resident like the

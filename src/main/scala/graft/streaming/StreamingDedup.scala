@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Dedup
+
+/**
+ * Online near-duplicate filtering of a document stream — the dedup twin of
+ * [[StreamingPipeline]]'s dictionary growth: a continuously-ingesting corpus
+ * (crawl snapshots, transcript firehose) must drop each incoming document
+ * that near-duplicates anything ALREADY SEEN, without ever rescanning the
+ * accumulated corpus text.
+ *
+ * State is a banded-MinHash signature store, exactly the batch family
+ * ([[Dedup.minhashLshPairs]]) at production widths: per batch the incoming
+ * docs compute their n-fn signatures in one codegen'd pass, their band keys
+ * join the store's band keys on narrow (bucket, band, key) — cost scales
+ * with the COLLIDING slice of the store, not the corpus — and candidates are
+ * verified by signature-estimated Jaccard (matching-component fraction, the
+ * standard online estimator: the store keeps 8-byte signatures, never
+ * shingle sets, so verification needs no text re-read). A doc is dropped iff
+ * a verified match exists in an earlier batch (store) or earlier in its own
+ * batch (smaller doc_id). With globally-unique increasing ids this equals
+ * the one-shot batch pass over the concatenated input — asserted in
+ * `StreamingDedupSpec`.
+ *
+ * Exactly-once state under foreachBatch's at-least-once replay: every write
+ * lands in a per-batch subdirectory (`…/batch_<id>`, overwrite mode) that
+ * readers IGNORE until the batch marker commits — a crashed batch leaves
+ * only invisible files and its replay overwrites them, so neither the store
+ * nor the kept output can double-count (same manifest-gated visibility rule
+ * as [[graft.pipeline.LakeTable]]).
+ *
+ * Docs too short to shingle (<3 tokens) pass through unfiltered — MinHash is
+ * undefined on an empty shingle set; they belong to the exact-dedup path
+ * (the same contract as the batch family).
+ *
+ * At 100 TB the store's band table is the only growing state and it is
+ * parquet partitioned by `bucket` = hash(key) % `keyBuckets`: executors join
+ * against it shuffle-free per bucket, and store maintenance is
+ * [[graft.pipeline.LakeTable.compact]]-shaped bin-packing of batch deltas.
+ */
+final class StreamingDedup(spark: SparkSession, storeDir: String,
+                           nFns: Int = 128, bandRows: Int = 2,
+                           jMin: Double = 0.5, keyBuckets: Int = 64,
+                           sigsOf: Option[org.apache.spark.sql.Column =>
+                             org.apache.spark.sql.Column] = None) {
+  require(nFns % bandRows == 0, "nFns must be a multiple of bandRows")
+  private val nBands = nFns / bandRows
+  private val (fa, fb) = Dedup.minhashFamily(nFns)
+  /** shingle-array → array<long> of nFns signatures; the default is the
+    * codegen'd production family, overridable with a cross-engine (mdHash)
+    * family so a DuckDB oracle can recompute the whole run. */
+  private val sigCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    sigsOf.getOrElse(sh =>
+      graft.functions.ClpFunctions.minhash_sigs(sh, fa, fb, 1000033L))
+
+  private val bandsPath = s"$storeDir/bands"
+  private val sigsPath = s"$storeDir/sigs"
+  private val keptPath = s"$storeDir/kept"
+
+  private def markedBatches: Seq[Long] = {
+    val d = new java.io.File(s"$storeDir/_batches")
+    if (!d.exists()) Seq.empty
+    else d.list().toSeq.map(_.toLong).sorted
+  }
+
+  /** Union of the COMMITTED per-batch deltas under `base` — uncommitted
+    * (markerless) directories are invisible by construction. */
+  private def readMarked(base: String): Option[DataFrame] = {
+    val dirs = markedBatches.map(b => s"$base/batch_$b")
+      .filter(p => new java.io.File(p).exists())
+    // per-dir reads unioned: each delta is its own partitioned root, so a
+    // multi-path read would fail partition inference across batch dirs;
+    // periodic LakeTable.compact-style bin-packing bounds the union width
+    if (dirs.isEmpty) None
+    else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
+
+  /** (doc_id, sigs) for every shingleable incoming doc. */
+  private def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        array_distinct(graft.GraftQueries.shingles(split(col("text"), " "))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sigs", sigCol(col("sh")))
+      .drop("sh")
+
+  /** Narrow (bucket, band, key, doc_id) band-key stream. */
+  private def banded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(nBands - 1)), bnd =>
+          xxhash64(bnd, slice(col("sigs"), bnd * bandRows + 1, lit(bandRows)))))
+          .as(Seq("band", "key")))
+      .withColumn("bucket", pmod(xxhash64(col("key")), lit(keyBuckets)).cast("int"))
+
+  /** Signature-estimated Jaccard: fraction of matching components. */
+  private def estJaccard(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(nFns.toDouble)
+
+  /** Filters one micro-batch of (doc_id, text, …) rows against everything
+    * seen so far, commits the batch's survivors and store delta atomically
+    * (marker-last), and is a no-op on replayed batch ids. */
+  def processBatch(docs: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$storeDir/_batches/$batchId")
+    if (marker.exists()) return
+    val sigs = signatures(docs).cache()
+    val bnd = banded(sigs).cache()
+    val emptyPairs = spark.range(0)
+      .select(col("id").as("new_id"), col("id").as("old_id"))
+
+    val fromStore = readMarked(bandsPath).fold(emptyPairs)(sb =>
+      bnd.join(sb.select(col("bucket"), col("band"), col("key"),
+          col("doc_id").as("old_id")), Seq("bucket", "band", "key"))
+        .select(col("doc_id").as("new_id"), col("old_id")))
+    val inBatch = bnd
+      .select(col("bucket"), col("band"), col("key"), col("doc_id").as("old_id"))
+      .join(bnd.select(col("bucket"), col("band"), col("key"),
+        col("doc_id").as("new_id")), Seq("bucket", "band", "key"))
+      .filter(col("old_id") < col("new_id"))
+      .select("new_id", "old_id")
+    // pair-dedup on the NARROW id keys before the signature re-join — the
+    // band join can emit the same pair once per colliding band
+    val cands = fromStore.unionByName(inBatch).distinct()
+
+    val sigLookup = readMarked(sigsPath).fold(sigs)(_.unionByName(sigs))
+    val dropped = cands
+      .join(sigLookup.select(col("doc_id").as("old_id"), col("sigs").as("a")),
+        Seq("old_id"))
+      .join(sigs.select(col("doc_id").as("new_id"), col("sigs").as("b")),
+        Seq("new_id"))
+      .filter(estJaccard(col("a"), col("b")) >= jMin)
+      .select(col("new_id").as("doc_id")).distinct()
+
+    // ALL incoming signatures enter the store (kept or dropped): "earlier
+    // doc" means earlier SEEN, so a dropped doc still suppresses its own
+    // later near-dups — this is what makes the stream equal the batch pass
+    sigs.write.mode("overwrite").parquet(s"$sigsPath/batch_$batchId")
+    bnd.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$bandsPath/batch_$batchId")
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$keptPath/batch_$batchId")
+    sigs.unpersist(); bnd.unpersist()
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+  }
+
+  /** The surviving corpus across all committed batches. */
+  def readKept(): DataFrame = readMarked(keptPath).getOrElse(
+    throw new IllegalStateException(s"no committed batches under $storeDir"))
+
+  /** Wires a streaming source of (doc_id, text, …) rows into the filter. */
+  def start(docsStream: DataFrame, checkpointDir: String): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id))
+      .start()
+}

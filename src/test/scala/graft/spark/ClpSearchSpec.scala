@@ -126,8 +126,15 @@ class ClpSearchSpec extends SparkSpecBase {
   test("no-driver-map search: distributed dict probes + distributed decode equal the oracle") {
     engine // force archive build
     val eD = new ClpSearch(spark, outDir, driverDictThreshold = 0L, hotHeadSize = 3)
-    for (q <- Seq("*connection error*", "*status=failed", "*status=fail*"))
-      assert(got(eD.search(q)) == oracle(q), s"distributed mismatch for '$q'")
+    for (q <- Seq("*connection error*", "*status=failed", "*status=fail*")) {
+      val res = eD.search(q)
+      assert(got(res) == oracle(q), s"distributed mismatch for '$q'")
+      // distributed decode is the same codegen'd placeholder walk as the
+      // broadcast mode — no interpreted UDF anywhere in the executed plan
+      val p = res.queryExecution.executedPlan.toString
+      assert(p.contains("clp_split_vars") && !p.contains("UDF("),
+        s"interpreted UDF in the distributed decode plan for '$q'")
+    }
     assert(eD.candidates("*status=zzznotastatus here*").isEmpty)
   }
 
