@@ -28,7 +28,7 @@ object Bench {
     "dedup_embedding_lsh", "text_tokens", "text_fingerprint",
     "knn_bruteforce", "regex_search", "ir_roundtrip", "kvir_roundtrip",
     "multimodal_frames", "dedup_paragraph", "pack_sequences",
-    "corpus_filter_chain")
+    "corpus_filter_chain", "dedup_substring", "text_unigram_logprob")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

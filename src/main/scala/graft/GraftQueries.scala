@@ -1428,12 +1428,16 @@ object GraftQueries {
         jMin = 0.5, sigsOf = Some(sh =>
           array(MinhashFns.map { case (a, b) => minhash(sh, a, b) }: _*)))
       val docs = t(s, d, "documents").select("doc_id", "text")
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
-      Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, Long.MaxValue))
-        .zipWithIndex.foreach { case ((lo, hi), b) =>
-          eng.processBatch(docs.filter(col("doc_id") >= lo && col("doc_id") < hi), b.toLong)
-        }
-      eng.readKept().select("doc_id").orderBy("doc_id")
+      val maxRow = docs.agg(max("doc_id")).head
+      if (maxRow.isNullAt(0)) docs.select("doc_id") // empty corpus: no batches
+      else {
+        val n = maxRow.getLong(0) + 1
+        Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, Long.MaxValue))
+          .zipWithIndex.foreach { case ((lo, hi), b) =>
+            eng.processBatch(docs.filter(col("doc_id") >= lo && col("doc_id") < hi), b.toLong)
+          }
+        eng.readKept().select("doc_id").orderBy("doc_id")
+      }
     }),
 
     // ---- the full CLP pipeline as one driver-checkable identity ----

@@ -104,10 +104,22 @@ object LakeTable {
       require(asNullable(df.schema).json == p.schemaJson,
         s"append schema ${df.schema.simpleString} does not match table $dir")
     }
-    // data files are immutable and uniquely named: each commit writes into
-    // its own staging subdir (one rename-free parquet job), then the
-    // manifest adopts the file names — no file of a previous snapshot is
-    // ever touched, so concurrent readers of older snapshots stay correct
+    val (commitId, newFiles, newRows) = stageData(spark, dir, df, df.schema)
+    val files = (if (keepPrevFiles) prev.map(_.files).getOrElse(Nil) else Nil) ++ newFiles
+    val rows = (if (keepPrevFiles) prev.map(_.rows).getOrElse(0L) else 0L) + newRows
+    val id = prev.map(_.id).getOrElse(0L) + 1L
+    // Spark reads file sources as nullable regardless of the writer's
+    // schema — store the relaxed form so read-back equals the manifest
+    commitManifest(spark, dir, id, files, rows, asNullable(df.schema).json, commitId)
+    id
+  }
+
+  /** Writes `df` into a fresh immutable staging subdir under `dir/data/`
+    * (one rename-free parquet job — data files are never touched after
+    * this, so concurrent readers of older snapshots stay correct) and
+    * returns (commitId, relative file names, footer-counted rows). */
+  private def stageData(spark: SparkSession, dir: String, df: DataFrame,
+                        readSchema: StructType): (String, Seq[String], Long) = {
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$dir/data/$commitId"
     df.write.parquet(staging)
@@ -116,15 +128,9 @@ object LakeTable {
     val newFiles = f.listStatus(stPath).iterator.map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
       .map(p => s"data/$commitId/${p.getName}").toSeq.sorted
-    val newRows = spark.read.schema(df.schema)
+    val newRows = spark.read.schema(readSchema)
       .parquet(newFiles.map(n => s"$dir/$n"): _*).count()
-    val files = (if (keepPrevFiles) prev.map(_.files).getOrElse(Nil) else Nil) ++ newFiles
-    val rows = (if (keepPrevFiles) prev.map(_.rows).getOrElse(0L) else 0L) + newRows
-    val id = prev.map(_.id).getOrElse(0L) + 1L
-    // Spark reads file sources as nullable regardless of the writer's
-    // schema — store the relaxed form so read-back equals the manifest
-    commitManifest(spark, dir, id, files, rows, asNullable(df.schema).json, commitId)
-    id
+    (commitId, newFiles, newRows)
   }
 
   private def commitManifest(spark: SparkSession, dir: String, id: Long,
@@ -178,18 +184,11 @@ object LakeTable {
     val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
     val smallTotal = small.map(_._2).sum
     val nOut = math.max(1L, (smallTotal + targetBytes - 1) / targetBytes).toInt
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val staging = s"$dir/data/$commitId"
-    spark.read.schema(schema).parquet(small.map(s => s"$dir/${s._1}"): _*)
-      .coalesce(nOut).write.parquet(staging)
-    val stPath = new Path(staging)
-    val newFiles = f.listStatus(stPath).iterator.map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && !p.getName.endsWith(".crc"))
-      .map(p => s"data/$commitId/${p.getName}").toSeq.sorted
     // row-preservation audit before the commit ever becomes visible — both
     // counts are parquet-footer metadata reads, no data scan
-    val newRows = spark.read.schema(schema)
-      .parquet(newFiles.map(n => s"$dir/$n"): _*).count()
+    val (commitId, newFiles, newRows) = stageData(spark, dir,
+      spark.read.schema(schema).parquet(small.map(s => s"$dir/${s._1}"): _*)
+        .coalesce(nOut), schema)
     val keptRows = if (kept.isEmpty) 0L
       else spark.read.schema(schema).parquet(kept.map(k => s"$dir/${k._1}"): _*).count()
     require(newRows + keptRows == prev.rows,

@@ -61,17 +61,37 @@ final class StreamingDedup(spark: SparkSession, storeDir: String,
   private val sigsPath = s"$storeDir/sigs"
   private val keptPath = s"$storeDir/kept"
 
+  // all store/marker IO goes through the Hadoop FS of the storeDir URI, so
+  // the state machine works unchanged on HDFS/S3A — java.io.File would
+  // silently see an empty store there (no markers, no cross-batch dedup)
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private lazy val fs = hPath(storeDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def markedBatches: Seq[Long] = {
-    val d = new java.io.File(s"$storeDir/_batches")
-    if (!d.exists()) Seq.empty
-    else d.list().toSeq.map(_.toLong).sorted
+    val d = hPath(s"$storeDir/_batches")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      // ignore stray non-marker entries (editor temp files, .nfs ghosts)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+  }
+
+  /** True iff the delta directory exists AND holds at least one data file —
+    * an all-short-docs or all-dropped batch legitimately commits an empty
+    * delta (only _SUCCESS inside), which a parquet read cannot infer a
+    * schema from and must skip. */
+  private def hasData(dir: String): Boolean = {
+    val p = hPath(dir)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.startsWith("part-") ||
+        st.isDirectory && fs.listStatus(st.getPath)
+          .exists(_.getPath.getName.startsWith("part-")))
   }
 
   /** Union of the COMMITTED per-batch deltas under `base` — uncommitted
     * (markerless) directories are invisible by construction. */
   private def readMarked(base: String): Option[DataFrame] = {
-    val dirs = markedBatches.map(b => s"$base/batch_$b")
-      .filter(p => new java.io.File(p).exists())
+    val dirs = markedBatches.map(b => s"$base/batch_$b").filter(hasData)
     // per-dir reads unioned: each delta is its own partitioned root, so a
     // multi-path read would fail partition inference across batch dirs;
     // periodic LakeTable.compact-style bin-packing bounds the union width
@@ -105,8 +125,8 @@ final class StreamingDedup(spark: SparkSession, storeDir: String,
     * seen so far, commits the batch's survivors and store delta atomically
     * (marker-last), and is a no-op on replayed batch ids. */
   def processBatch(docs: DataFrame, batchId: Long): Unit = {
-    val marker = new java.io.File(s"$storeDir/_batches/$batchId")
-    if (marker.exists()) return
+    val marker = hPath(s"$storeDir/_batches/$batchId")
+    if (fs.exists(marker)) return
     val sigs = signatures(docs).cache()
     val bnd = banded(sigs).cache()
     val emptyPairs = spark.range(0)
@@ -141,12 +161,31 @@ final class StreamingDedup(spark: SparkSession, storeDir: String,
     sigs.write.mode("overwrite").parquet(s"$sigsPath/batch_$batchId")
     bnd.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$bandsPath/batch_$batchId")
+    val keptDir = s"$keptPath/batch_$batchId"
     docs.join(dropped, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$keptPath/batch_$batchId")
+      .write.mode("overwrite").parquet(keptDir)
+    // per-batch metrics row (the north rule's lineage+metrics contract):
+    // committed with the same marker, so a metrics row exists iff its
+    // batch is visible. n_kept comes from the just-written delta's parquet
+    // FOOTERS (metadata-only, no data scan, and it audits the actual
+    // output rows — exact even if a batch carries duplicate doc_id rows);
+    // nothing here re-executes the candidate joins.
+    val nIn = docs.count()
+    val nKept = if (hasData(keptDir)) spark.read.parquet(keptDir).count() else 0L
+    import spark.implicits._
+    Seq((batchId, nIn, nKept, nIn - nKept))
+      .toDF("batch_id", "n_in", "n_kept", "n_dropped")
+      .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/metrics/batch_$batchId")
     sigs.unpersist(); bnd.unpersist()
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
   }
+
+  /** One audit row per committed batch: (batch_id, n_in, n_kept, n_dropped).
+    * Batches committed by builds that predate the metrics table have no
+    * row here (their kept/store deltas are still fully readable). */
+  def readMetrics(): DataFrame = readMarked(s"$storeDir/metrics").getOrElse(
+    throw new IllegalStateException(s"no committed batches under $storeDir"))
 
   /** The surviving corpus across all committed batches. */
   def readKept(): DataFrame = readMarked(keptPath).getOrElse(

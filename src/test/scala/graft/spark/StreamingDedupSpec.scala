@@ -67,6 +67,31 @@ class StreamingDedupSpec extends SparkSpecBase {
     // replaying a committed batch id changes nothing
     eS.processBatch(df(batch1), 1L)
     assert(keptIds(eS) == streamed)
+
+    // metrics audit: one row per committed batch, kept+dropped = in,
+    // and the totals reconcile with the kept output exactly
+    val m = eS.readMetrics().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.map(_._1).toSet == Set(0L, 1L, 2L))
+    m.foreach { case (_, in, kept, dropped) => assert(in == kept + dropped) }
+    assert(m.map(_._2).sum == (batch0 ++ batch1 ++ batch2).size)
+    assert(m.map(_._3).sum == streamed.size)
+  }
+
+  test("empty and all-short-doc batches commit without bricking the store") {
+    val dir = Files.createTempDirectory("graft-sdedup-e").toString
+    val e = new StreamingDedup(spark, dir)
+    // batch 0: nothing shingleable — its bands/sigs deltas are EMPTY
+    // (only _SUCCESS on disk); later reads must skip them, not die on
+    // schema inference
+    e.processBatch(df(Seq(300L -> "just two", 301L -> "tokens here")), 0L)
+    e.processBatch(df(Seq.empty), 1L)
+    // batch 2 still dedups against itself across the empty store deltas
+    e.processBatch(df(Seq(302L -> baseText(1), 303L -> mutate(baseText(1), 2, 4L))), 2L)
+    val kept = keptIds(e)
+    assert(kept == Set(300L, 301L, 302L))
+    val m = e.readMetrics().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(m.toSet == Set((0L, 2L, 0L), (1L, 0L, 0L), (2L, 2L, 1L)))
   }
 
   test("foreachBatch wiring filters a MemoryStream source end-to-end") {
