@@ -1037,6 +1037,32 @@ object GraftQueries {
         .orderBy("doc_id")
     }),
 
+    "text_classifier_score" -> ((s, d) => {
+      // model-based quality filtering (the fastText-style linear classifier
+      // LLM curation runs for quality/toxicity): feature = hashed bigram,
+      // score = sum of the model's weights over the doc's features,
+      // keep = score above threshold. No ML libs ship in this container, so
+      // the weight table is the deterministic stub w(h) = h % 1001 - 500
+      // (declared, same contract as the multimodal codec stub) — the Spark
+      // plumbing is the production shape: per-row feature explode, INTEGER
+      // weight sum (no FP, so any engine and any row/partition order agree
+      // bit-for-bit), threshold keep. Swapping in trained weights is a
+      // broadcast join against a (feature_hash, weight) table; everything
+      // else stays identical.
+      val words = split(col("text"), " ")
+      val wts = when(size(words) >= 2,
+        transform(sequence(lit(1), size(words) - 1), i =>
+          mdHash(concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+            % 1001L - 500L))
+        .otherwise(array().cast("array<long>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(wts).as("wt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("wt").as("score"))
+        .withColumn("keep", when(col("score") > 0, 1).otherwise(0))
+        .orderBy("doc_id")
+    }),
+
     "dedup_substring" -> ((s, d) => {
       // Substring-level dedup (Lee et al. 2022, arXiv:2107.06499): any
       // k-token window shared by >=2 DISTINCT documents marks its tokens as
@@ -1952,6 +1978,15 @@ object GraftQueries {
         |  round(sum(ln(cnt)) / count(*) - ln((SELECT total FROM tot)), 4) AS logprob
         |FROM t2 JOIN vocab USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_classifier_score" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |f AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-1),
+         |        i -> (${sqlHash("words[i] || ' ' || words[i+1]")} % 1001) - 500)) AS wt
+         |      FROM w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |       CAST(sum(wt) AS BIGINT) AS score,
+         |       CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS keep
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_substring" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |g AS (SELECT doc_id,
