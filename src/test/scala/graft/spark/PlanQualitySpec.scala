@@ -76,6 +76,29 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("[codegen id :"))
   }
 
+  test("curation gates: broadcasts where intended, no cartesian blowups") {
+    // unigram LM: the one-row corpus total rides a broadcast, never a
+    // shuffle; the vocab join may be broadcast or shuffle (AQE by size)
+    val p1 = executedPlan(
+      graft.GraftQueries.queries("text_unigram_logprob")(spark, sf))
+    assert(p1.contains("BroadcastNestedLoopJoin") || p1.contains("BroadcastHashJoin"))
+    assert(!p1.contains("CartesianProduct"))
+    // temperature mixing: the tiny per-language epoch table broadcasts
+    val p2 = executedPlan(graft.GraftQueries.queries("mix_temperature")(spark, sf))
+    assert(p2.contains("BroadcastHashJoin") || p2.contains("BroadcastNestedLoopJoin"))
+    assert(!p2.contains("CartesianProduct") && !p2.contains("SortMergeJoin"))
+    // substring dedup: duplicated-window filter is a semi join on the
+    // 8-byte hash, and nothing degenerates to a cross join
+    val p3 = executedPlan(graft.GraftQueries.queries("dedup_substring")(spark, sf))
+    assert(p3.contains("LeftSemi") && !p3.contains("CartesianProduct"))
+    // classifier: integer feature scoring stays a partial/final hash
+    // aggregate inside codegen — no UDF, no FP in the sum
+    val p4 = executedPlan(
+      graft.GraftQueries.queries("text_classifier_score")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p4).size >= 2 && p4.contains("[codegen id :"))
+    assert(!p4.contains("UDF("))
+  }
+
   test("json archive: schema_id filter is a partition filter (directory pruning)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-json-plan").toString
