@@ -39,8 +39,9 @@ import graft.Dedup
  *
  * At 100 TB the store's band table is the only growing state and it is
  * parquet partitioned by `bucket` = hash(key) % `keyBuckets`: executors join
- * against it shuffle-free per bucket, and store maintenance is
- * [[graft.pipeline.LakeTable.compact]]-shaped bin-packing of batch deltas.
+ * against it shuffle-free per bucket, and [[compactStore]] periodically
+ * consolidates the accumulated per-batch deltas (marker-gated like every
+ * other commit) so the read path never unions an unbounded dir list.
  */
 final class StreamingDedup(spark: SparkSession, storeDir: String,
                            nFns: Int = 128, bandRows: Int = 2,
@@ -88,15 +89,106 @@ final class StreamingDedup(spark: SparkSession, storeDir: String,
           .exists(_.getPath.getName.startsWith("part-")))
   }
 
-  /** Union of the COMMITTED per-batch deltas under `base` — uncommitted
-    * (markerless) directories are invisible by construction. */
-  private def readMarked(base: String): Option[DataFrame] = {
-    val dirs = markedBatches.map(b => s"$base/batch_$b").filter(hasData)
+  /** Largest committed compaction watermark: batches 0..w are consolidated
+    * into `<base>/compacted_<w>` dirs (see [[compactStore]]). */
+  private def compactedUpTo: Option[Long] = {
+    val d = hPath(s"$storeDir/_compactions")
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .sorted.lastOption
+  }
+
+  /** Union of the COMMITTED state under `base`: the newest committed
+    * compaction (if any) plus the per-batch deltas after its watermark —
+    * uncommitted (markerless) directories are invisible by construction.
+    * `maxBatch` bounds the deltas considered; [[compactStore]] passes its
+    * watermark snapshot so a batch committing concurrently mid-compaction
+    * cannot be folded in AND read as a delta (it would double-count). */
+  private def readMarked(base: String,
+                         maxBatch: Long = Long.MaxValue): Option[DataFrame] = {
+    val w = compactedUpTo
+    val dirs = (w.map(u => s"$base/compacted_$u").toSeq ++
+      markedBatches.filter(b => w.forall(b > _) && b <= maxBatch)
+        .map(b => s"$base/batch_$b"))
+      .filter(hasData)
     // per-dir reads unioned: each delta is its own partitioned root, so a
     // multi-path read would fail partition inference across batch dirs;
-    // periodic LakeTable.compact-style bin-packing bounds the union width
+    // compactStore bounds the union width
     if (dirs.isEmpty) None
     else Some(dirs.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
+
+  /** Consolidates all committed per-batch store deltas into one directory
+    * per state table (the maintenance a long-running stream needs: without
+    * it, a year of 30 s batches makes every processBatch union 10^6 delta
+    * dirs). Readers are unaffected throughout — the consolidated dirs are
+    * invisible until the compaction marker commits, a crash mid-way leaves
+    * only invisible files, and every table's read is pinned to the same
+    * watermark snapshot, so a batch committing concurrently is left as a
+    * delta, never folded in. Row preservation is audited per table from
+    * parquet footers BEFORE the marker commits (the [[graft.pipeline
+    * .LakeTable.compact]] contract) — a lossy rewrite can never become the
+    * canonical store. Each run rewrites the full accumulated state, so run
+    * it at a cadence where an O(store) rewrite amortizes (daily, not
+    * per-batch); size-tiered segments à la LakeTable.compact are the
+    * upgrade path if rewrite bandwidth ever dominates. Superseded dirs are
+    * reclaimed by [[expireStore]]. No-op (returns false) when nothing new
+    * has committed since the last compaction. */
+  def compactStore(): Boolean = markedBatches.lastOption match {
+    case None => false
+    case Some(upTo) if compactedUpTo.contains(upTo) => false
+    case Some(upTo) =>
+      Seq(bandsPath -> Seq("bucket"), sigsPath -> Seq.empty[String],
+          keptPath -> Seq.empty[String], s"$storeDir/metrics" -> Seq.empty[String])
+        .foreach { case (base, parts) =>
+          readMarked(base, maxBatch = upTo).foreach { df =>
+            val expected = df.count()
+            val dest = s"$base/compacted_$upTo"
+            val w = if (parts.isEmpty) df.write
+                    else df.write.partitionBy(parts: _*)
+            w.mode("overwrite").parquet(dest)
+            val actual =
+              if (hasData(dest)) spark.read.parquet(dest).count() else 0L
+            require(actual == expected,
+              s"compaction row mismatch in $dest: $actual != $expected")
+          }
+        }
+      val m = hPath(s"$storeDir/_compactions/$upTo")
+      fs.mkdirs(m.getParent)
+      fs.create(m, true).close()
+      true
+  }
+
+  /** Reclaims store state superseded by the newest committed compaction:
+    * per-batch delta dirs and markers at or below the watermark, and older
+    * compacted_* dirs — bounding both disk use and the per-read marker
+    * listing. Leave a grace period after compacting if readers of older
+    * in-flight queries may still hold the superseded paths. */
+  def expireStore(): Unit = compactedUpTo.foreach { w =>
+    val bases =
+      Seq(bandsPath, sigsPath, keptPath, s"$storeDir/metrics")
+    bases.foreach { base =>
+      markedBatches.filter(_ <= w).foreach { b =>
+        fs.delete(hPath(s"$base/batch_$b"), true)
+      }
+      val d = hPath(base)
+      if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("compacted_") &&
+            n.stripPrefix("compacted_").forall(_.isDigit) &&
+            n.stripPrefix("compacted_").toLong < w)
+          fs.delete(st.getPath, true)
+      }
+    }
+    markedBatches.filter(_ <= w).foreach { b =>
+      fs.delete(hPath(s"$storeDir/_batches/$b"), false)
+    }
+    val cd = hPath(s"$storeDir/_compactions")
+    if (fs.exists(cd)) fs.listStatus(cd).foreach { st =>
+      val n = st.getPath.getName
+      if (n.forall(_.isDigit) && n.toLong < w) fs.delete(st.getPath, false)
+    }
   }
 
   /** (doc_id, sigs) for every shingleable incoming doc. */
@@ -127,6 +219,13 @@ final class StreamingDedup(spark: SparkSession, storeDir: String,
   def processBatch(docs: DataFrame, batchId: Long): Unit = {
     val marker = hPath(s"$storeDir/_batches/$batchId")
     if (fs.exists(marker)) return
+    // an id at or below the compaction watermark is a replay of a batch the
+    // compaction already consolidated (foreachBatch ids are strictly
+    // increasing, so watermark w implies every id <= w committed — its
+    // marker may have been reclaimed by expireStore): same no-op as the
+    // marker check. Direct-API callers must use increasing ids — a FRESH
+    // batch reusing a low id would be skipped here, not silently hidden.
+    if (compactedUpTo.exists(batchId <= _)) return
     val sigs = signatures(docs).cache()
     val bnd = banded(sigs).cache()
     val emptyPairs = spark.range(0)

@@ -78,6 +78,32 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(m.map(_._3).sum == streamed.size)
   }
 
+  test("compactStore consolidates deltas; reads and later batches are unchanged") {
+    val dir = Files.createTempDirectory("graft-sdedup-c").toString
+    val e = new StreamingDedup(spark, dir)
+    e.processBatch(df(batch0), 0L)
+    e.processBatch(df(batch1), 1L)
+    val before = keptIds(e)
+    val mBefore = e.readMetrics().collect().map(_.toSeq).toSet
+    assert(e.compactStore())
+    assert(!e.compactStore()) // nothing new since the watermark
+    assert(keptIds(e) == before)
+    assert(e.readMetrics().collect().map(_.toSeq).toSet == mBefore)
+    // a batch after compaction still dedups against the consolidated store
+    e.processBatch(df(batch2), 2L)
+    assert(!keptIds(e).contains(205L) && keptIds(e).contains(202L))
+    assert(e.compactStore()) // supersedes the previous watermark
+    val finalKept = keptIds(e)
+    assert(!finalKept.contains(205L) && finalKept.contains(202L))
+    // expire reclaims superseded deltas + old compactions; reads unchanged
+    e.expireStore()
+    assert(keptIds(e) == finalKept)
+    assert(e.readMetrics().count() == 3)
+    // replaying an expired (marker-reclaimed) batch id is a no-op
+    e.processBatch(df(batch1), 1L)
+    assert(keptIds(e) == finalKept)
+  }
+
   test("empty and all-short-doc batches commit without bricking the store") {
     val dir = Files.createTempDirectory("graft-sdedup-e").toString
     val e = new StreamingDedup(spark, dir)
@@ -92,6 +118,38 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(kept == Set(300L, 301L, 302L))
     val m = e.readMetrics().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(m.toSet == Set((0L, 2L, 0L), (1L, 0L, 0L), (2L, 2L, 1L)))
+  }
+
+  test("fuzz: random batch splits all equal the one-shot pass (production widths)") {
+    val seed = java.lang.Long.getLong("graft.fuzz.seed", 20260818L)
+    val rnd = new scala.util.Random(seed)
+    // corpus with a planted near-dup population: 40 bases + 20 mutated
+    // copies of random bases at higher ids, plus a couple of degenerates
+    val docs: Seq[(Long, String)] =
+      (0L until 40L).map(i => i -> baseText(i)) ++
+        (0 until 20).map { j =>
+          (1000L + j) -> mutate(baseText(rnd.nextInt(40)), rnd.nextInt(3), seed + j)
+        } ++ Seq(2000L -> "tiny", 2001L -> "")
+    val oneDir = Files.createTempDirectory("graft-sdedup-f1").toString
+    val eOne = new StreamingDedup(spark, oneDir)
+    eOne.processBatch(df(docs), 0L)
+    val expected = keptIds(eOne)
+
+    for (trial <- 0 until 3) {
+      // random contiguous split into 2-5 batches (ids increase across
+      // batches — the contract under which stream == batch)
+      val sorted = docs.sortBy(_._1)
+      val nCuts = 1 + rnd.nextInt(4)
+      val cuts = Seq.fill(nCuts)(rnd.nextInt(sorted.size)).distinct.sorted
+      val slices = (Seq(0) ++ cuts ++ Seq(sorted.size)).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => sorted.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      val dir = Files.createTempDirectory(s"graft-sdedup-f$trial").toString
+      val e = new StreamingDedup(spark, dir)
+      slices.zipWithIndex.foreach { case (sl, b) => e.processBatch(df(sl), b.toLong) }
+      assert(keptIds(e) == expected,
+        s"trial $trial (seed $seed, cuts $cuts) diverged from the one-shot pass")
+    }
   }
 
   test("foreachBatch wiring filters a MemoryStream source end-to-end") {
