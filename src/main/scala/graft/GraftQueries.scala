@@ -1466,6 +1466,31 @@ object GraftQueries {
       }
     }),
 
+    "stream_dedup_metrics" -> ((s, d) => {
+      // the audit side of stream_dedup: per-batch (n_in, n_kept, n_dropped)
+      // metrics rows, committed with each batch marker, must reconcile with
+      // a DuckDB recomputation of the same three id-range batches — the
+      // lineage+metrics contract extended to streaming state and ORACLE-
+      // checked, not just sbt-asserted.
+      val dir = java.nio.file.Files.createTempDirectory("graft-sdm").toString
+      val eng = new graft.streaming.StreamingDedup(s, dir, nFns = 4, bandRows = 1,
+        jMin = 0.5, sigsOf = Some(sh =>
+          array(MinhashFns.map { case (a, b) => minhash(sh, a, b) }: _*)))
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val maxRow = docs.agg(max("doc_id")).head
+      if (maxRow.isNullAt(0)) {
+        s.range(0).select(col("id").as("batch_id"), col("id").as("n_in"),
+          col("id").as("n_kept"), col("id").as("n_dropped"))
+      } else {
+        val n = maxRow.getLong(0) + 1
+        Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, Long.MaxValue))
+          .zipWithIndex.foreach { case ((lo, hi), b) =>
+            eng.processBatch(docs.filter(col("doc_id") >= lo && col("doc_id") < hi), b.toLong)
+          }
+        eng.readMetrics().orderBy("batch_id")
+      }
+    }),
+
     // ---- the full CLP pipeline as one driver-checkable identity ----
     "clp_pipeline_route" -> ((s, d) => {
       // parse→dict→enrich→route→aggregate over transcript-shaped documents;
@@ -1828,6 +1853,20 @@ object GraftQueries {
          |     + CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END) >= 2)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+    "stream_dedup_metrics" ->
+      s"""$sqlShinglesCte,
+         |sig AS (SELECT doc_id, $sqlMinhashCols FROM s),
+         |dropped AS (SELECT DISTINCT b.doc_id FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  AND (CASE WHEN a.mh0=b.mh0 THEN 1 ELSE 0 END + CASE WHEN a.mh1=b.mh1 THEN 1 ELSE 0 END
+         |     + CASE WHEN a.mh2=b.mh2 THEN 1 ELSE 0 END + CASE WHEN a.mh3=b.mh3 THEN 1 ELSE 0 END) >= 2),
+         |nn AS (SELECT max(doc_id)+1 AS n FROM documents),
+         |bat AS (SELECT doc_id, CAST(CASE WHEN doc_id < n//3 THEN 0
+         |          WHEN doc_id < 2*n//3 THEN 1 ELSE 2 END AS BIGINT) AS batch_id
+         |        FROM documents, nn)
+         |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_in,
+         |  CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM dropped)) AS BIGINT) AS n_dropped
+         |FROM bat GROUP BY batch_id ORDER BY batch_id""".stripMargin,
     "clp_pipeline_route" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q1_agg" ->
