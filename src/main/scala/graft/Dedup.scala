@@ -159,8 +159,15 @@ object Dedup {
   def semanticKeep(emb: DataFrame, idCol: String, embCol: String,
                    nlist: Int, iters: Int, cosMin: Double): DataFrame = {
     require(cosMin > 0, s"cosMin must be positive, got $cosMin")
-    val centroids = KnnIvf.trainCentroids(emb, idCol, embCol, nlist, iters)
-    val cells = KnnIvf.index(emb, embCol, centroids)
+    // nlist = 1 is the exact path: one cell means every row lands in cell 0
+    // whatever the centroid is, so k-means training (a collect + Lloyd
+    // rounds over the corpus) would be two full passes computing an unused
+    // value — skip straight to the single-cell assignment
+    val indexed =
+      if (nlist == 1) emb.withColumn("cell", lit(0))
+      else KnnIvf.index(emb, embCol,
+        KnnIvf.trainCentroids(emb, idCol, embCol, nlist, iters))
+    val cells = indexed
       .select(col(idCol).as("id"), KnnIvf.normalized(col(embCol)).as("e"), col("cell"))
       // zero embeddings have no direction: cosMin > 0 can never drop them,
       // so skip the pair join entirely (same guard as embeddingLshPairs)

@@ -59,7 +59,13 @@ object LakeTable {
   }
 
   def snapshot(spark: SparkSession, dir: String, asOf: Option[Long] = None): Option[Snapshot] = {
-    val id = asOf.orElse(currentId(spark, dir)).getOrElse(return None)
+    val cur = currentId(spark, dir)
+    val id = asOf.orElse(cur).getOrElse(return None)
+    // committedness is defined by CURRENT, not by manifest existence: a
+    // crashed commit leaves an orphan manifest above CURRENT that no read
+    // path (latest, time travel, or expire) may ever treat as a snapshot
+    if (asOf.exists(a => cur.forall(a > _)))
+      throw new IllegalArgumentException(s"no committed snapshot $id in $dir")
     val mf = new Path(f"$dir/_snapshots/v$id%08d.json")
     val f = fs(spark, mf)
     if (!f.exists(mf))
@@ -68,22 +74,33 @@ object LakeTable {
     val json = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       StandardCharsets.UTF_8) finally in.close()
     // manifest fields are this file's own writes — a flat regex parse keeps
-    // the shim dependency-free (same trade as Lineage manifests)
-    val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    // the shim dependency-free (same trade as Lineage manifests); a
+    // truncated/corrupt manifest must name the file, not NPE
+    def field(o: Option[scala.util.matching.Regex.Match], what: String) =
+      o.getOrElse(throw new IllegalStateException(
+        s"malformed manifest $mf: missing $what"))
+    val rows = field(""""rows":\s*(\d+)""".r.findFirstMatchIn(json), "rows")
+      .group(1).toLong
     val files = """"file":\s*"([^"]+)"""".r.findAllMatchIn(json).map(_.group(1)).toSeq
-    val schema = """"schema":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json).get.group(1)
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+    val schema = field(
+      """"schema":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json), "schema")
+      .group(1).replace("\\\"", "\"").replace("\\\\", "\\")
     Some(Snapshot(id, files, rows, schema))
   }
 
-  /** All committed snapshot ids, ascending. */
+  /** All committed snapshot ids, ascending — bounded by CURRENT, so an
+    * orphan manifest from a crashed commit is never listed (and [[expire]],
+    * which derives its keep-set from this, can never mistake one for the
+    * newest snapshot and delete committed data). */
   def snapshots(spark: SparkSession, dir: String): Seq[Long] = {
+    val cur = currentId(spark, dir).getOrElse(return Nil)
     val sd = new Path(s"$dir/_snapshots")
     val f = fs(spark, sd)
     if (!f.exists(sd)) Nil
     else f.listStatus(sd).iterator.map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
+      .filter(_ <= cur)
       .toSeq.sorted
   }
 
@@ -143,8 +160,24 @@ object LakeTable {
     val mf = new Path(f"$dir/_snapshots/v$id%08d.json")
     val f = fs(spark, mf)
     f.mkdirs(mf.getParent)
-    val out = f.create(mf, true)
-    try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // optimistic concurrency: the no-overwrite manifest create IS the id
+    // reservation — of two concurrent committers that both computed this id,
+    // the second create fails LOUDLY (caller retries on a fresh snapshot
+    // read) instead of silently overwriting the winner's manifest and
+    // losing its commit. The one existing-file case that may be replaced is
+    // an orphan above CURRENT (a crashed commit that never swapped the
+    // pointer): delete it and reserve again.
+    def writeManifest(): Unit = {
+      val out = f.create(mf, false)
+      try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    try writeManifest()
+    catch { case _: java.io.IOException =>
+      require(currentId(spark, dir).forall(id > _),
+        s"concurrent commit detected: snapshot $id already committed in $dir")
+      f.delete(mf, false)
+      writeManifest()
+    }
     // the commit point: CURRENT flips via write-temp + overwrite-rename —
     // FileContext.rename(OVERWRITE) is atomic on HDFS and posix local, so a
     // reader sees the old pointer or the new one, never an absent/partial

@@ -22,6 +22,29 @@ class LakeTableSpec extends SparkSpecBase {
     assert(LakeTable.snapshot(spark, dir).get.rows == 250)
   }
 
+  test("orphan manifest from a crashed commit: invisible, expire-safe, healed") {
+    val dir = Files.createTempDirectory("graft-lake-orphan").toString
+    LakeTable.append(spark, dir, spark.range(0, 50).toDF("id"))
+    // simulate a crash between manifest write and the CURRENT swap: the
+    // v2 manifest exists (pointing at no staged files) but CURRENT stays 1
+    val orphan = java.nio.file.Paths.get(s"$dir/_snapshots/v00000002.json")
+    java.nio.file.Files.writeString(orphan,
+      """{"snapshot": 2, "rows": 0, "schema": "", "manifest_entries": []}""")
+    // committedness is CURRENT, not manifest existence
+    assert(LakeTable.snapshots(spark, dir) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      LakeTable.read(spark, dir, asOf = Some(2L))
+    }
+    assert(LakeTable.read(spark, dir).count() == 50)
+    // expire must keep the COMMITTED snapshot, not the orphan
+    LakeTable.expire(spark, dir, keepLast = 1)
+    assert(LakeTable.read(spark, dir).count() == 50)
+    // the next commit reserves id 2, healing the orphan in place
+    assert(LakeTable.append(spark, dir, spark.range(50, 80).toDF("id")) == 2L)
+    assert(LakeTable.read(spark, dir).count() == 80)
+    assert(LakeTable.snapshots(spark, dir) == Seq(1L, 2L))
+  }
+
   test("time travel reads any older snapshot unchanged after later commits") {
     val dir = Files.createTempDirectory("graft-lake-tt").toString
     LakeTable.append(spark, dir, spark.range(0, 10).toDF("id"))
