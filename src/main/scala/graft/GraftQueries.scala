@@ -1102,6 +1102,42 @@ object GraftQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    "dedup_substring_cut" -> ((s, d) => {
+      // the CUT step completing dedup_substring (Lee et al. remove the
+      // duplicated ranges before training): every token covered by a
+      // duplicated window is dropped and the survivors reassemble in
+      // order. Same window-hash shuffle as the span gate, then a
+      // token-level anti-membership: positions [pos, pos+k-1] of each
+      // duplicated window mark tokens, tokens explode once, an anti-join
+      // on (doc_id, token_pos) keeps the clean ones, and one groupBy
+      // reassembles — all keyed shuffles, integer-exact membership.
+      val k = 8
+      val words = split(col("text"), " ")
+      val docs = t(s, d, "documents")
+      val grams = docs
+        .select(col("doc_id"),
+          posexplode(when(size(words) >= k,
+            transform(sequence(lit(1), size(words) - (k - 1)),
+              i => mdHash(concat_ws(" ", slice(words, i, lit(k))))))
+            .otherwise(array().cast("array<long>"))).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+      val dup = grams.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      val cut = grams.join(dup.select("h"), Seq("h"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+        .distinct()
+      docs.select(col("doc_id"), posexplode(words).as(Seq("tp0", "tok")))
+        .select(col("doc_id"), (col("tp0") + 1).as("tpos"), col("tok"))
+        .join(cut, Seq("doc_id", "tpos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok"))).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     "text_c4_filters" -> ((s, d) => {
       // C4/Gopher-style rule filters (the heuristic pass that runs BEFORE
       // the model-based quality filters): terminal punctuation at the end,
@@ -2042,6 +2078,23 @@ object GraftQueries {
          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          |       CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
          |FROM s GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_cut" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(words)-7)) AS pos,
+         |        unnest(list_transform(generate_series(1, len(words)-7),
+         |          i -> ${sqlHash("array_to_string(words[i:i+7], ' ')")})) AS h
+         |      FROM w),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |cut AS (SELECT DISTINCT doc_id, tpos FROM (
+         |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos+7)) AS tpos
+         |  FROM g SEMI JOIN dup USING (h))),
+         |toks AS (SELECT doc_id, unnest(generate_series(1, len(words))) AS tpos,
+         |                unnest(words) AS tok FROM w)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |       string_agg(t.tok, ' ' ORDER BY t.tpos) AS clean
+         |FROM toks t ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "text_rep_ratio" ->
       s"""$sqlShinglesCte
          |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,

@@ -108,6 +108,37 @@ object KnnIvf {
             centroids: Array[Array[Double]]): DataFrame =
     df.withColumn("cell", nearestCentroidCol(normalized(col(embCol)), centroids))
 
+  /** IVF × SQ8 — the two index families composed the way a production
+    * vector store runs them (the FAISS `IVF…,SQ8` default at scale): probe
+    * the `nProbe` nearest cells, coarse-rank ONLY the probed slice by the
+    * integer dot over int8 codes (4× smaller residency than float32, and
+    * bit-stable candidate selection — small-integer math has no FP
+    * rounding), then exact-cosine re-rank just the top `coarseK`
+    * survivors. With `nProbe = nlist` the cell filter is a no-op and the
+    * result equals the flat SQ8 scan (asserted in KnnIvfSpec), so recall
+    * loss comes only from the probe knob, never the quantization plumbing.
+    * `indexed` is [[index]]'s output (persist it `partitionBy("cell")` so
+    * the probe filter prunes at the file level). */
+  def searchQuantized(indexed: DataFrame, centroids: Array[Array[Double]],
+                      q: Array[Double], nProbe: Int, coarseK: Int,
+                      k: Int): DataFrame = {
+    import graft.functions.ClpFunctions.{vec_qdot, vec_sq8}
+    val cells = probeCells(q, centroids, nProbe)
+    // float literal: the corpus embeddings are array<float>, and the exact
+    // re-rank must reproduce the flat scan's float-kernel scores bit-for-bit
+    val qLit = typedLit(q.map(_.toFloat).toSeq)
+    indexed.filter(col("cell").isin(cells.toSeq: _*))
+      .withColumn("qdot",
+        vec_qdot(vec_sq8(col("embedding"), lit(127.0)), vec_sq8(qLit, lit(127.0))))
+      .orderBy(desc("qdot"), asc("vec_id")).limit(coarseK)
+      .withColumn("score", round(
+        vec_dot(col("embedding"), qLit) /
+          (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+           sqrt(vec_dot(qLit, qLit))), 4))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), asc("vec_id")).limit(k)
+  }
+
   /** The `nProbe` cells nearest to a query vector (driver-side: the probe
     * list is per-query and centroid-sized). Ties break to the smaller id. */
   def probeCells(q: Array[Double], centroids: Array[Array[Double]],

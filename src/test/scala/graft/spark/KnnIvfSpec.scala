@@ -70,6 +70,31 @@ class KnnIvfSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF x SQ8: probe-all equals the flat SQ8 scan; fewer probes stay exact-scored") {
+    val qVec = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val indexed = KnnIvf.index(emb.filter(col("vec_id") =!= 0), "embedding", centroids)
+    // probe-all: the cell filter is a no-op, so IVF x SQ8 must equal the
+    // oracle-checked flat SQ8 scan (same coarseK/k, same kernels)
+    val flat = GraftQueries.queries("knn_sq8")(spark, sf).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getDouble(1))
+    val all = KnnIvf.searchQuantized(indexed, centroids, qVec,
+      nProbe = 8, coarseK = 15, k = 5).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getDouble(1))
+    assert(all == flat, s"probe-all IVF x SQ8 diverged from the flat scan")
+    // narrow probe: every returned score is still the exact float-kernel
+    // cosine for that id (quantization only selects candidates, never
+    // scores), and the result is non-empty
+    val bruteAll = topK(nProbe = 8, k = 200).toMap
+    val narrow = KnnIvf.searchQuantized(indexed, centroids, qVec,
+      nProbe = 1, coarseK = 15, k = 5).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getDouble(1))
+    assert(narrow.nonEmpty)
+    narrow.foreach { case (id, score) =>
+      assert(math.abs(bruteAll(id) - score) < 1e-9, s"score drift for $id")
+    }
+  }
+
   test("a partitionBy(cell) index makes the probe a partition-pruned scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     KnnIvf.index(emb, "embedding", centroids)
