@@ -1078,19 +1078,10 @@ object GraftQueries {
       // both engines compute the SAME md5-derived key, so any collision is
       // shared. k=8; span bounds are 1-based inclusive token indices.
       val k = 8
-      val words = split(col("text"), " ")
-      val grams = t(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(when(size(words) >= k,
-            transform(sequence(lit(1), size(words) - (k - 1)),
-              i => mdHash(concat_ws(" ", slice(words, i, lit(k))))))
-            .otherwise(array().cast("array<long>"))).as(Seq("p0", "h")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
-      val dup = grams.groupBy("h")
-        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      val (grams, dup) = substringGrams(t(s, d, "documents"), k)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
-      grams.join(dup.select("h"), Seq("h"), "left_semi")
+      grams.join(dup, Seq("h"), "left_semi")
         .withColumn("brk",
           when(col("pos") - lag("pos", 1).over(w) <= k, lit(0)).otherwise(lit(1)))
         .withColumn("island", sum("brk").over(w))
@@ -1114,16 +1105,8 @@ object GraftQueries {
       val k = 8
       val words = split(col("text"), " ")
       val docs = t(s, d, "documents")
-      val grams = docs
-        .select(col("doc_id"),
-          posexplode(when(size(words) >= k,
-            transform(sequence(lit(1), size(words) - (k - 1)),
-              i => mdHash(concat_ws(" ", slice(words, i, lit(k))))))
-            .otherwise(array().cast("array<long>"))).as(Seq("p0", "h")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
-      val dup = grams.groupBy("h")
-        .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
-      val cut = grams.join(dup.select("h"), Seq("h"), "left_semi")
+      val (grams, dup) = substringGrams(docs, k)
+      val cut = grams.join(dup, Seq("h"), "left_semi")
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
         .distinct()
@@ -1629,6 +1612,34 @@ object GraftQueries {
   private def sqlHash(e: String): String =
     s"CAST('0x'||substr(md5($e),1,15) AS BIGINT)"
 
+  /** Shared k=8 window-hash stream for the substring-dedup pair: (doc_id,
+    * pos, h) grams plus the cross-doc duplicated hash set — the span gate
+    * (dedup_substring) and the cut gate (dedup_substring_cut) must stay on
+    * ONE gram scheme or their span/cut results silently disagree. */
+  private def substringGrams(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val words = split(col("text"), " ")
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(when(size(words) >= k,
+          transform(sequence(lit(1), size(words) - (k - 1)),
+            i => mdHash(concat_ws(" ", slice(words, i, lit(k))))))
+          .otherwise(array().cast("array<long>"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("h")
+    (grams, dup)
+  }
+
+  /** DuckDB twin of [[substringGrams]] (CTEs `w`, `g`, `dup`). */
+  private val sqlSubstringGramsCte: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(generate_series(1, len(words)-7)) AS pos,
+       |        unnest(list_transform(generate_series(1, len(words)-7),
+       |          i -> ${sqlHash("array_to_string(words[i:i+7], ' ')")})) AS h
+       |      FROM w),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
+
   private val sqlMinhashCols: String = MinhashFns.zipWithIndex.map { case ((a, b), j) =>
     s"CAST(list_aggregate(list_transform(sh, t -> ($a * (${sqlHash("t")} % 1000003) + $b) % $MinhashMod), 'min') AS BIGINT) AS mh$j"
   }.mkString(",\n  ")
@@ -2063,13 +2074,7 @@ object GraftQueries {
          |       CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS keep
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_substring" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |g AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(words)-7)) AS pos,
-         |        unnest(list_transform(generate_series(1, len(words)-7),
-         |          i -> ${sqlHash("array_to_string(words[i:i+7], ' ')")})) AS h
-         |      FROM w),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      s"""$sqlSubstringGramsCte,
          |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
          |i AS (SELECT doc_id, pos,
          |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
@@ -2079,13 +2084,7 @@ object GraftQueries {
          |       CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
          |FROM s GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     "dedup_substring_cut" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |g AS (SELECT doc_id,
-         |        unnest(generate_series(1, len(words)-7)) AS pos,
-         |        unnest(list_transform(generate_series(1, len(words)-7),
-         |          i -> ${sqlHash("array_to_string(words[i:i+7], ' ')")})) AS h
-         |      FROM w),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      s"""$sqlSubstringGramsCte,
          |cut AS (SELECT DISTINCT doc_id, tpos FROM (
          |  SELECT g.doc_id, unnest(generate_series(g.pos, g.pos+7)) AS tpos
          |  FROM g SEMI JOIN dup USING (h))),

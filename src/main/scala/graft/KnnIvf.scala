@@ -120,23 +120,32 @@ object KnnIvf {
     * `indexed` is [[index]]'s output (persist it `partitionBy("cell")` so
     * the probe filter prunes at the file level). */
   def searchQuantized(indexed: DataFrame, centroids: Array[Array[Double]],
-                      q: Array[Double], nProbe: Int, coarseK: Int,
-                      k: Int): DataFrame = {
+                      q: Array[Double], nProbe: Int, coarseK: Int, k: Int,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
     import graft.functions.ClpFunctions.{vec_qdot, vec_sq8}
     val cells = probeCells(q, centroids, nProbe)
     // float literal: the corpus embeddings are array<float>, and the exact
     // re-rank must reproduce the flat scan's float-kernel scores bit-for-bit
     val qLit = typedLit(q.map(_.toFloat).toSeq)
+    // quantize the query ONCE on the driver — a vec_sq8(qLit) row
+    // expression is not foldable, so the coarse scan would re-quantize the
+    // query per scanned row. Mirrors the kernel exactly (floor(x·127+0.5)
+    // clamped, from the float value) so the codes are identical.
+    val qCodes = q.map { v =>
+      math.max(-127.0,
+        math.min(127.0, math.floor(v.toFloat.toDouble * 127.0 + 0.5))).toByte
+    }
     indexed.filter(col("cell").isin(cells.toSeq: _*))
       .withColumn("qdot",
-        vec_qdot(vec_sq8(col("embedding"), lit(127.0)), vec_sq8(qLit, lit(127.0))))
-      .orderBy(desc("qdot"), asc("vec_id")).limit(coarseK)
+        vec_qdot(vec_sq8(col(embCol), lit(127.0)), typedLit(qCodes.toSeq)))
+      .orderBy(desc("qdot"), asc(idCol)).limit(coarseK)
       .withColumn("score", round(
-        vec_dot(col("embedding"), qLit) /
-          (sqrt(vec_dot(col("embedding"), col("embedding"))) *
+        vec_dot(col(embCol), qLit) /
+          (sqrt(vec_dot(col(embCol), col(embCol))) *
            sqrt(vec_dot(qLit, qLit))), 4))
-      .select("vec_id", "score")
-      .orderBy(desc("score"), asc("vec_id")).limit(k)
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), asc(idCol)).limit(k)
   }
 
   /** The `nProbe` cells nearest to a query vector (driver-side: the probe

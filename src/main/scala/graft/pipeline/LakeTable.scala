@@ -33,6 +33,11 @@ object LakeTable {
   final case class Snapshot(id: Long, files: Seq[String], rows: Long,
                             schemaJson: String)
 
+  /** How old an orphan manifest (above CURRENT) must be before a new commit
+    * may heal (replace) it — see the concurrency note in commitManifest. */
+  private val OrphanGraceMs: Long =
+    sys.props.get("graft.lake.orphanGraceMs").map(_.toLong).getOrElse(60000L)
+
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -175,6 +180,16 @@ object LakeTable {
     catch { case _: java.io.IOException =>
       require(currentId(spark, dir).forall(id > _),
         s"concurrent commit detected: snapshot $id already committed in $dir")
+      // an existing manifest ABOVE CURRENT is either a crashed commit's
+      // orphan or a concurrent winner that has not yet swapped the pointer
+      // — indistinguishable by state alone, so only a manifest older than
+      // the grace window is healed; a fresh one fails loudly (a live winner
+      // swaps CURRENT within the window; this loser retries on a fresh
+      // snapshot read and then trips the id-already-committed require)
+      val age = System.currentTimeMillis() - f.getFileStatus(mf).getModificationTime
+      require(age > OrphanGraceMs,
+        s"concurrent commit in flight for snapshot $id in $dir " +
+          s"(manifest ${age}ms old < ${OrphanGraceMs}ms grace)")
       f.delete(mf, false)
       writeManifest()
     }

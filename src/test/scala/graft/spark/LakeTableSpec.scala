@@ -39,7 +39,15 @@ class LakeTableSpec extends SparkSpecBase {
     // expire must keep the COMMITTED snapshot, not the orphan
     LakeTable.expire(spark, dir, keepLast = 1)
     assert(LakeTable.read(spark, dir).count() == 50)
-    // the next commit reserves id 2, healing the orphan in place
+    // a FRESH manifest above CURRENT could be a concurrent commit mid-swap,
+    // so a new commit refuses to replace it...
+    intercept[IllegalArgumentException] {
+      LakeTable.append(spark, dir, spark.range(50, 80).toDF("id"))
+    }
+    // ...but once it is older than the grace window it is a crashed
+    // commit's orphan, and the next commit heals it in place
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000L))
     assert(LakeTable.append(spark, dir, spark.range(50, 80).toDF("id")) == 2L)
     assert(LakeTable.read(spark, dir).count() == 80)
     assert(LakeTable.snapshots(spark, dir) == Seq(1L, 2L))
