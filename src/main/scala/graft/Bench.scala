@@ -16,7 +16,8 @@ import graft.pipeline.{ClpPipeline, TranscriptGen}
  * Emits ONE JSON line:
  *   {"metric":"pipeline_turns_per_sec","value":…,"unit":"turns/sec",
  *    "queries":{name:sec,…},"sf":…,"bench_turns":…,
- *    "scaling":{"cores_lo":…,"thr_lo":…,"cores_hi":…,"thr_hi":…,"efficiency":…}}
+ *    "scaling":{"cores_lo":…,"thr_lo":…,"reps_sec_lo":[…],"cores_hi":…,
+ *               "thr_hi":…,"reps_sec_hi":[…],"efficiency":…}}
  */
 object Bench {
 
@@ -92,10 +93,14 @@ object Bench {
     // run and dominated the scaling ratio.
     val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "64000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // the lo leg is stable across sessions (only sustained many-thread load
-    // gets hypervisor-throttled — see BENCH/BASELINE.md variance analysis),
-    // so one lo rep suffices while the hi leg keeps best-of-N
-    val repsLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_LO", "1").toInt
+    // BOTH legs need multiple interleaved reps: round 3 recorded a single
+    // 2-core sample that landed in a hypervisor throttle storm and produced a
+    // physically-impossible 1.811 efficiency. Best-of-N on one leg vs a
+    // single sample on the other biases the ratio; ≥2 lo reps interleaved
+    // with the hi reps sample the same noise windows, and the per-rep times
+    // are emitted in the JSON so a storm is visible in the artifact itself.
+    val repsLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS_LO",
+      math.max(2, reps - 1).toString).toInt
 
     // corpus + archive outputs on tmpfs when available: the box's /tmp is a
     // shared virtio disk whose 8-concurrent-writer contention penalizes the
@@ -150,7 +155,9 @@ object Bench {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
 
     val qs = qTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val repsHiJson = hiTimes.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val repsLoJson = loTimes.map(t => f"$t%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"pipeline_turns_per_sec","value":$thrHi%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","bench_turns":$nTurns,"pipeline_sec":$secHi%.2f,"scaling":{"cores_lo":$cpusLo,"thr_lo":$thrLo%.1f,"sec_lo":$secLo%.2f,"cores_hi":$cpusHi,"thr_hi":$thrHi%.1f,"sec_hi":$secHi%.2f,"efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"pipeline_turns_per_sec","value":$thrHi%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","bench_turns":$nTurns,"pipeline_sec":$secHi%.2f,"scaling":{"cores_lo":$cpusLo,"thr_lo":$thrLo%.1f,"sec_lo":$secLo%.2f,"reps_sec_lo":$repsLoJson,"cores_hi":$cpusHi,"thr_hi":$thrHi%.1f,"sec_hi":$secHi%.2f,"reps_sec_hi":$repsHiJson,"efficiency":$efficiency%.3f}}""")
   }
 }

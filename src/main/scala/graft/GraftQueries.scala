@@ -113,11 +113,17 @@ object GraftQueries {
   }
 
   /** The IVF train→index→probe→score pipeline shared by the `knn_ivf`
-    * (nProbe=2, pruned) and `knn_ivf_all` (nProbe=nlist ≡ brute force,
-    * oracle-gated) entries — only the probed cell set differs. */
+    * (nProbe=2, pruned) and `knn_ivf_all` (nProbe=nlist ≡ brute force)
+    * entries — only the probed cell set differs. Both gates run `iters = 0`:
+    * the centroids are the deterministic SEEDS (normalized embeddings of the
+    * nlist lowest ids), so the whole index — assignment argmax, probe set,
+    * pruned scan, exact re-rank — is recomputable by the DuckDB oracle
+    * (Lloyd rounds are not SQL-expressible; the TRAINED path is covered by
+    * KnnIvfSpec at iters = 3, which also asserts assignment ≡ local mirror
+    * and recall monotonicity). */
   private def ivfTopK(s: SparkSession, d: String, nProbe: Int): DataFrame = {
     val e = t(s, d, "embeddings")
-    val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 3)
+    val centroids = KnnIvf.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 0)
     val qVec = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).map(_.toDouble).toArray
     val cells = KnnIvf.probeCells(qVec, centroids, nProbe)
@@ -854,7 +860,9 @@ object GraftQueries {
       // quality band → repetition filter → exact dedup (keep first) →
       // benchmark decontamination, one declarative chain. Scale shape: the
       // per-row filters fuse into the scan; the only shuffles are the dedup
-      // window (keyed on text — the exact-dup hash shape) and the
+      // aggregation (groupBy text with map-side combine — a window on the
+      // raw text would do NO partial aggregation, so a boilerplate doc
+      // duplicated across billions of rows would land in one task) and the
       // contamination anti-join whose build side is the small heldout
       // shingle set, broadcast.
       val docs = t(s, d, "documents")
@@ -865,9 +873,13 @@ object GraftQueries {
         .withColumn("n_dup", (size(sh) - size(array_distinct(sh))).cast("long"))
         .filter(col("n_tok") >= 30 && col("n_tok") <= 75)
         .filter(col("n_dup") * 10 < col("n_sh") * 3)
+      // keep-first-by-doc_id as min(struct): doc_id is unique, so the struct
+      // min IS the first row per text — same semantics as the old
+      // row_number window, but partial/final HashAggregate absorbs dup skew
       val deduped = q
-        .withColumn("rn", row_number().over(Window.partitionBy("text").orderBy("doc_id")))
-        .filter(col("rn") === 1)
+        .groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("n_tok"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.n_tok").as("n_tok"))
       val g = docs.select(col("doc_id"), explode(array_distinct(sh)).as("g"))
       val bench = broadcast(g.filter(col("doc_id") % 97 === 0)
         .select(col("g").as("bg")).distinct())
@@ -1017,19 +1029,22 @@ object GraftQueries {
       // CCNet-style paragraph-level dedup: docs are split into 8-word
       // chunks; each distinct chunk is kept only at its first occurrence
       // (min doc_id, then min position) corpus-wide; docs are reassembled
-      // from their surviving chunks. Scale shape: one shuffle keyed on the
-      // chunk text (the dedup hash join) + one keyed re-aggregation per
+      // from their surviving chunks. Scale shape: one groupBy(chunk)
+      // aggregation whose map-side combine absorbs hot-chunk skew (a
+      // row_number window on the chunk would send every copy of a
+      // boilerplate chunk to ONE task) + one keyed re-aggregation per
       // doc — both distributed, no all-pairs, no driver state.
       val words = split(col("text"), " ")
       val chunks = transform(
         sequence(lit(0L), ceil(size(words) / lit(8.0)).cast("long") - 1),
         i => concat_ws(" ", slice(words, (i * 8 + 1).cast("int"), lit(8))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("chunk").orderBy("doc_id", "pos")
       t(s, d, "documents")
         .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        // first occurrence = min (doc_id, pos) struct; pos is unique within
+        // a doc, so this is exactly the old window's rn=1 row per chunk
+        .groupBy(col("chunk"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"), col("chunk"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
           concat_ws(" ", transform(sort_array(collect_list(struct(col("pos"), col("chunk")))),
@@ -1392,17 +1407,21 @@ object GraftQueries {
       graft.Dedup.semanticKeep(t(s, d, "embeddings"), "vec_id", "embedding",
         nlist = 1, iters = 1, cosMin = 0.4).orderBy("id")),
     "dedup_semantic" -> ((s, d) =>
-      // the scaled shape (rows-only: k-means isn't SQL-expressible):
-      // spherical k-means cells, pair join keyed on cell — candidates only
-      // within a cell, the exact kernel per candidate. SemanticDedupSpec
-      // asserts kept ⊇ the exact kernel's kept set and a drop-recall floor.
-      // nlist=4 is the demo size for this corpus (its near-dups sit at
-      // cos≈0.4, far below the ≥0.9 SemDeDup operating point where
+      // the scaled shape: k-means cells, pair join keyed on cell —
+      // candidates only within a cell, the exact kernel per candidate. The
+      // gate runs the SEED-centroid index (iters = 0: centroids are the
+      // normalized embeddings of the 4 lowest ids), which makes every step —
+      // assignment argmax, cell-restricted pair join, cosine verify,
+      // connected components, canonical keep — recomputable by the DuckDB
+      // oracle; SemanticDedupSpec covers the TRAINED path (iters = 4) and
+      // asserts kept ⊇ the exact kernel's kept set plus a drop-recall
+      // floor. nlist=4 is the demo size for this corpus (its near-dups sit
+      // at cos≈0.4, far below the ≥0.9 SemDeDup operating point where
       // duplicates co-locate in a cell almost surely — same demo-width
       // trade as the 4-plane LSH gates); production tunes nlist to corpus
       // size and raises cosMin, which only tightens co-location.
       graft.Dedup.semanticKeep(t(s, d, "embeddings"), "vec_id", "embedding",
-        nlist = 4, iters = 4, cosMin = 0.4).orderBy("id")),
+        nlist = 4, iters = 0, cosMin = 0.4).orderBy("id")),
     "dedup_minhash_pairs" -> ((s, d) => {
       // full MinHash+LSH dedup: band → bucket join → exact-jaccard verify.
       // Bands of 1 row over 4 sigs, verify j >= 0.2. Oracle: with r=1 the
@@ -1569,13 +1588,14 @@ object GraftQueries {
         .orderBy(desc("score"), asc("vec_id")).limit(3)
     }),
 
-    // ---- IVF ANN: spherical-k-means cells (deterministic init, fixed
-    // Lloyd rounds), probe the nProbe nearest cells, exact cosine within
-    // them — the trainable scale path next to LSH; persisted
-    // partitionBy("cell") the probe is a partition-pruned scan (asserted
-    // in KnnIvfSpec). No SQL oracle at nProbe=2 (k-means isn't
-    // SQL-expressible); the probe-all twin knn_ivf_all below IS under the
-    // brute-force oracle, and the sbt suite asserts recall at nProbe. ----
+    // ---- IVF ANN: spherical-k-means cells (deterministic init), probe the
+    // nProbe nearest cells, exact cosine within them — the trainable scale
+    // path next to LSH; persisted partitionBy("cell") the probe is a
+    // partition-pruned scan (asserted in KnnIvfSpec). The gate runs the
+    // seed-centroid index (iters = 0, see ivfTopK), so the ENTIRE pruned
+    // search — assignment argmax, probe-2 set, cell-restricted scan, exact
+    // re-rank — is recomputed by the DuckDB oracle; trained-centroid
+    // behavior (iters = 3) is asserted in KnnIvfSpec. ----
     "knn_ivf" -> ((s, d) => ivfTopK(s, d, nProbe = 2)),
 
     // ---- IVF probe-all correctness gate: with nProbe = nlist the cell
@@ -1909,11 +1929,20 @@ object GraftQueries {
          |nn AS (SELECT max(doc_id)+1 AS n FROM documents),
          |bat AS (SELECT doc_id, CAST(CASE WHEN doc_id < n//3 THEN 0
          |          WHEN doc_id < 2*n//3 THEN 1 ELSE 2 END AS BIGINT) AS batch_id
-         |        FROM documents, nn)
-         |SELECT batch_id, CAST(count(*) AS BIGINT) AS n_in,
+         |        FROM documents, nn),
+         |agg AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_in,
          |  CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS BIGINT) AS n_kept,
          |  CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM dropped)) AS BIGINT) AS n_dropped
-         |FROM bat GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+         |FROM bat GROUP BY batch_id)
+         |-- all three batch ids emitted unconditionally: Spark commits an
+         |-- n_in=0 metrics row for an id range that matched no docs (sparse
+         |-- doc_id corpora), which a bare GROUP BY would omit here
+         |SELECT ids.batch_id, CAST(COALESCE(n_in, 0) AS BIGINT) AS n_in,
+         |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM (SELECT CAST(range AS BIGINT) AS batch_id FROM range(3), nn
+         |      WHERE n IS NOT NULL) ids
+         |LEFT JOIN agg USING (batch_id) ORDER BY batch_id""".stripMargin,
     "clp_pipeline_route" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q1_agg" ->
@@ -2242,6 +2271,38 @@ object GraftQueries {
     "knn_ivf_all" ->
       """SELECT b.vec_id, round(list_cosine_similarity(b.embedding, q.embedding), 4) AS score
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE b.vec_id <> 0
+        |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin,
+    // pruned IVF fully recomputed: the gate's centroids are the iters=0
+    // SEEDS (normalized embeddings of the 8 lowest vec_ids, the same
+    // x/sqrt(Σx²) chain as vec_normalize), cell = argmax dot (ties →
+    // smallest cid, the argmax_dot rule), probe set = top-2 centroids by
+    // dot with the normalized query (ties → smaller cid), exact cosine
+    // re-rank over the probed cells only
+    "knn_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM embeddings),
+        |nrm AS (SELECT vec_id, embedding, emb,
+        |          sqrt(list_inner_product(emb, emb)) AS nn FROM e),
+        |n AS (SELECT vec_id, embedding,
+        |        CASE WHEN nn > 0 THEN list_transform(emb, x -> x / nn)
+        |             ELSE emb END AS ne
+        |      FROM nrm),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ne AS c
+        |         FROM (SELECT vec_id, ne FROM n ORDER BY vec_id LIMIT 8)),
+        |q AS (SELECT ne AS qn, embedding AS q_emb FROM n WHERE vec_id = 0),
+        |probe AS (SELECT cid FROM cent, q
+        |          ORDER BY list_inner_product(c, qn) DESC, cid LIMIT 2),
+        |scored AS (SELECT n.vec_id, cent.cid, list_inner_product(n.ne, cent.c) AS dt
+        |           FROM n, cent WHERE n.vec_id <> 0),
+        |assign AS (SELECT vec_id, cid AS cell FROM (
+        |             SELECT vec_id, cid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cid) AS rn
+        |             FROM scored) WHERE rn = 1)
+        |SELECT b.vec_id, round(list_cosine_similarity(b.embedding, q.q_emb), 4) AS score
+        |FROM embeddings b
+        |JOIN assign ON b.vec_id = assign.vec_id
+        |JOIN probe ON assign.cell = probe.cid
+        |CROSS JOIN q
         |WHERE b.vec_id <> 0
         |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin,
     "kql_search" ->

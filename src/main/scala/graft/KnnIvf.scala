@@ -16,8 +16,9 @@ import graft.functions.ClpFunctions.vec_dot
   * Scale notes (the 100 TB shape):
   *  - The centroid table is small BY CONSTRUCTION (≤ ~64k cells even for
   *    very large corpora), so collecting it once per Lloyd round and
-  *    re-binding it as expression literals is driver-safe — the per-row
-  *    assignment and the per-dimension means stay fully distributed.
+  *    re-broadcasting it is driver-safe — the per-row assignment is one
+  *    codegen'd `argmax_dot` against the broadcast matrix (O(1) plan size
+  *    at any nlist) and the per-dimension means stay fully distributed.
   *  - Train on a deterministic sample (pass the sample as `df`); assign the
   *    full corpus once and persist `partitionBy("cell")` so probes become
   *    partition-pruned scans (asserted in KnnIvfSpec).
@@ -34,16 +35,22 @@ object KnnIvf {
     graft.functions.ClpFunctions.vec_normalize(emb)
 
   /** Nearest-centroid id by dot product (≡ cosine on normalized input) as a
-    * single codegen-friendly Column: one `vec_dot` against each centroid
-    * literal, folded with `greatest` over (dot, -cid) structs so the
-    * smallest cid wins exact ties deterministically. */
-  def nearestCentroidCol(emb: Column, centroids: Array[Array[Double]]): Column = {
+    * single codegen'd `argmax_dot` over a BROADCAST centroid matrix. The
+    * previous shape — one `vec_dot(emb, typedLit(c))` per centroid folded
+    * with `greatest` — was correct at gate nlist but exploded the expression
+    * tree and the generated code at production nlist (256–65k cells × 768
+    * dims); the matrix now rides the plan as one reference object, and ties
+    * still break to the smallest cell id. */
+  def nearestCentroidCol(emb: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    graft.functions.ClpFunctions.argmax_dot(emb, bc)
+
+  /** Broadcast the centroid matrix once for a train/index pass. */
+  def broadcastCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]])
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(vec_dot(emb, typedLit(c.toSeq)).as("dot"), lit(-i).as("nid"))
-    }
-    val best = if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
-    (-best.getField("nid")).cast("int")
+    spark.sparkContext.broadcast(centroids)
   }
 
   /** Local mirror of [[nearestCentroidCol]] for driver-side vectors. */
@@ -82,8 +89,9 @@ object KnnIvf {
       .map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
+      val bc = broadcastCentroids(df.sparkSession, centroids)
       val means = base
-        .select(nearestCentroidCol(col("e"), centroids).as("cid"),
+        .select(nearestCentroidCol(col("e"), bc).as("cid"),
           posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg("v").as("m"))
         .groupBy("cid")
@@ -101,12 +109,20 @@ object KnnIvf {
     centroids
   }
 
-  /** Assign every vector to its cell: (idCol, embCol untouched, cell). The
-    * caller persists this `partitionBy("cell")` so probes prune at the
-    * file level. */
+  /** Assign every vector to its cell AND quantize it once: (idCol, embCol
+    * untouched, cell, codes). The caller persists this `partitionBy("cell")`
+    * so probes prune at the file level, and [[searchQuantized]]'s coarse
+    * scan reads ONLY (id, cell, codes) — the int8 codes column is 4× smaller
+    * than the float32 embeddings, which is where SQ8's scan-residency win
+    * actually lands (quantizing per query would re-read the floats and
+    * forfeit it). */
   def index(df: DataFrame, embCol: String,
-            centroids: Array[Array[Double]]): DataFrame =
-    df.withColumn("cell", nearestCentroidCol(normalized(col(embCol)), centroids))
+            centroids: Array[Array[Double]]): DataFrame = {
+    val bc = broadcastCentroids(df.sparkSession, centroids)
+    df.withColumn("cell", nearestCentroidCol(normalized(col(embCol)), bc))
+      .withColumn("codes",
+        graft.functions.ClpFunctions.vec_sq8(col(embCol), lit(127.0)))
+  }
 
   /** IVF × SQ8 — the two index families composed the way a production
     * vector store runs them (the FAISS `IVF…,SQ8` default at scale): probe
@@ -123,11 +139,38 @@ object KnnIvf {
                       q: Array[Double], nProbe: Int, coarseK: Int, k: Int,
                       idCol: String = "vec_id",
                       embCol: String = "embedding"): DataFrame = {
-    import graft.functions.ClpFunctions.{vec_qdot, vec_sq8}
     val cells = probeCells(q, centroids, nProbe)
     // float literal: the corpus embeddings are array<float>, and the exact
     // re-rank must reproduce the flat scan's float-kernel scores bit-for-bit
     val qLit = typedLit(q.map(_.toFloat).toSeq)
+    // coarse stage: (id, codes) only over the probed cells — never the
+    // float column; then the driver collects the coarseK ids (a per-query,
+    // coarseK-sized action, same cost class as probeCells) so the re-rank
+    // scan gets an id IN-list that parquet can push down — the two-phase
+    // read a production vector store runs, not a second full-cell pass
+    val ids = coarseCandidates(indexed, centroids, q, nProbe, coarseK, idCol, embCol)
+      .select(col(idCol)).collect().map(_.get(0))
+    indexed.filter(col("cell").isin(cells.toSeq: _*))
+      .filter(col(idCol).isin(ids.toSeq: _*))
+      .withColumn("score", round(
+        vec_dot(col(embCol), qLit) /
+          (sqrt(vec_dot(col(embCol), col(embCol))) *
+           sqrt(vec_dot(qLit, qLit))), 4))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), asc(idCol)).limit(k)
+  }
+
+  /** The coarse stage of [[searchQuantized]], exposed so its plan is
+    * testable: integer `vec_qdot` over the STORED int8 codes of the probed
+    * cells → top `coarseK` candidate ids. Reads only (id, cell, codes); the
+    * on-the-fly `vec_sq8(embCol)` fallback exists solely for inputs indexed
+    * before codes were persisted. */
+  def coarseCandidates(indexed: DataFrame, centroids: Array[Array[Double]],
+                       q: Array[Double], nProbe: Int, coarseK: Int,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): DataFrame = {
+    import graft.functions.ClpFunctions.{vec_qdot, vec_sq8}
+    val cells = probeCells(q, centroids, nProbe)
     // quantize the query ONCE on the driver — a vec_sq8(qLit) row
     // expression is not foldable, so the coarse scan would re-quantize the
     // query per scanned row. Mirrors the kernel exactly (floor(x·127+0.5)
@@ -136,16 +179,14 @@ object KnnIvf {
       math.max(-127.0,
         math.min(127.0, math.floor(v.toFloat.toDouble * 127.0 + 0.5))).toByte
     }
+    val codesCol =
+      if (indexed.columns.contains("codes")) col("codes")
+      else vec_sq8(col(embCol), lit(127.0))
     indexed.filter(col("cell").isin(cells.toSeq: _*))
-      .withColumn("qdot",
-        vec_qdot(vec_sq8(col(embCol), lit(127.0)), typedLit(qCodes.toSeq)))
+      .select(col(idCol), codesCol.as("c8"))
+      .withColumn("qdot", vec_qdot(col("c8"), typedLit(qCodes.toSeq)))
       .orderBy(desc("qdot"), asc(idCol)).limit(coarseK)
-      .withColumn("score", round(
-        vec_dot(col(embCol), qLit) /
-          (sqrt(vec_dot(col(embCol), col(embCol))) *
-           sqrt(vec_dot(qLit, qLit))), 4))
-      .select(col(idCol), col("score"))
-      .orderBy(desc("score"), asc(idCol)).limit(k)
+      .select(col(idCol), col("qdot"))
   }
 
   /** The `nProbe` cells nearest to a query vector (driver-side: the probe

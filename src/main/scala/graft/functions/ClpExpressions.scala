@@ -108,6 +108,35 @@ object ClpRuntime {
     new GenericArrayData(out)
   }
 
+  /** Encode-side broadcast resolution — the per-row function every pipeline
+    * turn pays: logtype → (id, sink) probe, dict-var → global-id probes, and
+    * the CLP-order var splice, in ONE walk with zero boxing beyond the map
+    * probes. Missing entries fail loudly: the dictionaries were built from
+    * this same corpus, so an absent value means dict/corpus drift, never a
+    * row to silently null out. */
+  def resolveEncode(
+      bcLt: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Long, Int)]],
+      bcVars: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]],
+      logtype: UTF8String, dictVars: ArrayData, encodedVars: ArrayData): InternalRow = {
+    val lt = logtype.toString
+    val e = bcLt.value.get(lt)
+    if (e == null) throw new NoSuchElementException(s"logtype not in dictionary: $lt")
+    val vm = bcVars.value
+    val n = if (dictVars == null) 0 else dictVars.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = dictVars.getUTF8String(i).toString
+      val id = vm.get(v)
+      if (id == null) throw new NoSuchElementException(s"variable not in dictionary: $v")
+      ids(i) = id.longValue()
+      i += 1
+    }
+    val enc = if (encodedVars == null) Array.emptyLongArray else encodedVars.toLongArray()
+    new GenericInternalRow(Array[Any](e._1, e._2,
+      new GenericArrayData(ClpEncoding.mergeVars(lt, enc, ids))))
+  }
+
   /** All n MinHash signatures in ONE pass over the shingle set — the
     * production-width family (n=128+) would be n interpreted HOF aggregates
     * as Column expressions; here it is one codegen'd walk,
@@ -190,6 +219,37 @@ object ClpRuntime {
       i += 1
     }
     acc
+  }
+
+  /** Nearest-centroid assignment against a BROADCAST centroid matrix — one
+    * codegen'd walk over all centroids, O(nlist × dim) primitive ops per
+    * row. The literal-per-centroid alternative (`greatest(struct(vec_dot(
+    * emb, lit(c0)), …))`) explodes the expression tree and the generated
+    * code at production nlist (256–65k cells × 768 dims); here the matrix
+    * rides the plan once as a reference object. Strict `>` keeps the first
+    * (smallest-id) centroid on exact ties — the same deterministic
+    * tie-break as `greatest(struct(dot, -cid))`. */
+  def argmaxDot(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                v: ArrayData, vFloat: Boolean): Int = {
+    val cs = bc.value
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    val nv = if (v == null) 0 else v.numElements()
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      val n = math.min(nv, c.length)
+      var dot = 0.0
+      var k = 0
+      while (k < n) {
+        val x = if (vFloat) v.getFloat(k).toDouble else v.getDouble(k)
+        dot += x * c(k)
+        k += 1
+      }
+      if (dot > bestDot) { bestDot = dot; best = i }
+      i += 1
+    }
+    best
   }
 
   /** Symmetric int8 scalar quantization (the FAISS SQ8 idea): q[i] =
@@ -320,6 +380,40 @@ case class DictValuesExpr(child: Expression,
   override protected def withNewChildInternal(c: Expression): DictValuesExpr =
     copy(child = c)
   override def prettyName: String = "dict_values"
+}
+
+/** `clp_resolve(logtype, dict_vars, encoded_vars)` with BOTH broadcast
+  * dictionaries bound at plan time → struct<logtype_id, sink_id, vars>: the
+  * encode-side twin of [[DictValuesExpr]]. This is the hottest per-row
+  * function in the pipeline (every turn pays it once); as an interpreted
+  * Scala-closure UDF it was the one non-codegen step in the encode stage —
+  * here the probes and the var splice stay inside whole-stage codegen as a
+  * single static call. */
+case class ClpResolveExpr(first: Expression, second: Expression, third: Expression,
+    bcLt: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Long, Int)]],
+    bcVars: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]])
+    extends TernaryExpression {
+  override def dataType: DataType = ClpResolveExpr.outputType
+  override def nullSafeEval(l: Any, d: Any, e: Any): Any =
+    ClpRuntime.resolveEncode(bcLt, bcVars,
+      l.asInstanceOf[UTF8String], d.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcName = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val ltRef = ctx.addReferenceObj("bcLtDict", bcLt, bcName)
+    val varRef = ctx.addReferenceObj("bcVarDict", bcVars, bcName)
+    defineCodeGen(ctx, ev, (l, d, e) =>
+      s"graft.functions.ClpRuntime.resolveEncode($ltRef, $varRef, $l, $d, $e)")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ClpResolveExpr =
+    copy(f, s, t)
+  override def prettyName: String = "clp_resolve"
+}
+
+object ClpResolveExpr {
+  val outputType: StructType = StructType(Seq(
+    StructField("logtype_id", LongType, nullable = false),
+    StructField("sink_id", IntegerType, nullable = false),
+    StructField("vars", ArrayType(LongType, containsNull = false), nullable = false)))
 }
 
 /** `minhash_sigs(shingles)` with the hash family bound at plan time —
@@ -523,6 +617,34 @@ case class VecSq8Expr(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "vec_sq8"
 }
 
+/** `argmax_dot(vec)` with a broadcast centroid matrix bound at plan time →
+  * int: the IVF cell-assignment kernel ([[graft.KnnIvf]]). The matrix rides
+  * the plan as one reference object (the [[DictValuesExpr]] pattern), so the
+  * expression tree stays O(1) regardless of nlist. */
+case class ArgmaxDotExpr(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecTypeCheck.fpArray(prettyName, child)
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    ClpRuntime.argmaxDot(bc, v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcCentroids", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.ClpRuntime.argmaxDot($bcRef, $v, $isFloat)")
+  }
+  override protected def withNewChildInternal(c: Expression): ArgmaxDotExpr =
+    copy(child = c)
+  override def prettyName: String = "argmax_dot"
+}
+
 /** `vec_qdot(q8a, q8b)` → bigint: integer dot of two int8-quantized
   * vectors — the coarse ANN scorer; no FP, so candidate ranking is
   * bit-stable across engines and cluster sizes. */
@@ -626,6 +748,19 @@ object ClpFunctions {
       MinhashSigsExpr(
         org.apache.spark.sql.GraftExpr.expression(shingles), a, b, mod))
 
+  /** Encode-side broadcast resolution (the hottest per-row pipeline step) —
+    * the broadcasts ride the Expression like [[dict_values]]; no registry
+    * entry, no interpreted closure. */
+  def clp_resolve(logtype: Column, dictVars: Column, encodedVars: Column,
+      bcLt: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Long, Int)]],
+      bcVars: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]]): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      ClpResolveExpr(
+        org.apache.spark.sql.GraftExpr.expression(logtype),
+        org.apache.spark.sql.GraftExpr.expression(dictVars),
+        org.apache.spark.sql.GraftExpr.expression(encodedVars),
+        bcLt, bcVars))
+
   /** Broadcast-bound dictionary-id → value resolution; the broadcast rides
     * the Expression itself (no registry entry to leak one registration —
     * and one pinned dictionary copy — per query). */
@@ -639,6 +774,12 @@ object ClpFunctions {
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_sq8(vec: Column, mult: Column): Column = call_function("vec_sq8", vec, mult)
   def vec_qdot(a: Column, b: Column): Column = call_function("vec_qdot", a, b)
+  /** Broadcast-matrix nearest-centroid assignment; the centroid matrix rides
+    * the Expression (one reference object, any nlist). */
+  def argmax_dot(vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      ArgmaxDotExpr(org.apache.spark.sql.GraftExpr.expression(vec), bc))
   def vec_normalize(a: Column): Column =
     org.apache.spark.sql.GraftExpr.column(
       VecNormalizeExpr(org.apache.spark.sql.GraftExpr.expression(a)))

@@ -280,20 +280,17 @@ object ClpPipeline {
       bcLt: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, (Long, Int)]],
       bcVars: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.lang.Long]],
       lookup: DataFrame): DataFrame = {
-    val resolve = udf((logtype: String, dictVars: Seq[String], encodedVars: Seq[Long]) => {
-      val (ltId, sink) = bcLt.value.get(logtype)
-      val vm = bcVars.value
-      val ids = new Array[Long](dictVars.length)
-      var i = 0
-      while (i < ids.length) { ids(i) = vm.get(dictVars(i)).longValue(); i += 1 }
-      (ltId, sink, graft.core.ClpEncoding.mergeVars(logtype, encodedVars.toArray, ids))
-    })
+    // codegen'd resolution (graft.functions.ClpResolveExpr): the broadcast
+    // maps ride the Expression, so the hottest per-row step of the pipeline
+    // stays inside whole-stage codegen instead of an interpreted closure UDF
     parsed
-      .withColumn("e", resolve(col("logtype"), col("dict_vars"), col("encoded_vars")))
+      .withColumn("e", graft.functions.ClpFunctions.clp_resolve(
+        col("logtype"), col("dict_vars"), col("encoded_vars"), bcLt, bcVars))
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("n_bytes"),
-        col("e._1").as("logtype_id"), col("e._2").as("sink_id"), col("e._3").as("vars"),
+        col("e.logtype_id").as("logtype_id"), col("e.sink_id").as("sink_id"),
+        col("e.vars").as("vars"),
         col("dict_vars"), col("encoded_vars"), col("logtype"))
       .transform(enrich(lookup))
   }
@@ -349,11 +346,12 @@ object ClpPipeline {
         transform(col("pv"), p => p.getField("var_id")).as("dict_var_ids"))
 
     val resolved = ltResolved.join(varIds, key, "left")
-    val mergeUdf = udf((logtype: String, encodedVars: Seq[Long], ids: Seq[Long]) =>
-      graft.core.ClpEncoding.mergeVars(logtype, encodedVars.toArray,
-        if (ids == null) Array.emptyLongArray else ids.toArray))
+    // merge through the codegen'd clp_merge_vars Expression; rows with no
+    // dict vars come out of the left join with a NULL id array → coalesce to
+    // empty (the UDF this replaces did the same null check per row)
     parsed.join(resolved, key) // the single wide shuffle
-      .withColumn("vars", mergeUdf(col("logtype"), col("encoded_vars"), col("dict_var_ids")))
+      .withColumn("vars", clp_merge_vars(col("logtype"), col("encoded_vars"),
+        coalesce(col("dict_var_ids"), typedLit(Array.empty[Long]))))
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
         col("n_bytes"), col("logtype_id"), col("sink_id"), col("vars"),

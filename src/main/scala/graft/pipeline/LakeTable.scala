@@ -160,7 +160,7 @@ object LakeTable {
                              commitId: String): Unit = {
     val schemaEsc = schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")
     val manifest =
-      s"""{"snapshot": $id, "rows": $rows, "schema": "$schemaEsc",
+      s"""{"snapshot": $id, "commit": "$commitId", "rows": $rows, "schema": "$schemaEsc",
          | "manifest_entries": [${files.map(x => s"""{"file": "$x"}""").mkString(", ")}]}""".stripMargin
     val mf = new Path(f"$dir/_snapshots/v$id%08d.json")
     val f = fs(spark, mf)
@@ -172,12 +172,24 @@ object LakeTable {
     // losing its commit. The one existing-file case that may be replaced is
     // an orphan above CURRENT (a crashed commit that never swapped the
     // pointer): delete it and reserve again.
+    // FS requirement: the _snapshots dir must live on a filesystem with
+    // atomic no-overwrite create (HDFS, posix local). Object stores whose
+    // create is check-then-write (raw S3A) can let two racers both "win" —
+    // there, this swap must be replaced by a catalog/conditional-put commit,
+    // exactly as Iceberg does.
     def writeManifest(): Unit = {
       val out = f.create(mf, false)
       try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
     try writeManifest()
-    catch { case _: java.io.IOException =>
+    catch { case e: java.io.IOException =>
+      // only an already-exists conflict routes into the heal path; a
+      // transient create/write failure (network, disk) must surface as
+      // itself, not masquerade as a concurrent commit. Hadoop signals the
+      // conflict as FileAlreadyExistsException; the exists() fallback covers
+      // FS implementations that still raise a bare IOException for it.
+      if (!e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] &&
+          !f.exists(mf)) throw e
       require(currentId(spark, dir).forall(id > _),
         s"concurrent commit detected: snapshot $id already committed in $dir")
       // an existing manifest ABOVE CURRENT is either a crashed commit's
@@ -204,6 +216,22 @@ object LakeTable {
     org.apache.hadoop.fs.FileContext.getFileContext(cur.toUri,
         spark.sparkContext.hadoopConfiguration)
       .rename(tmp, cur, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // post-swap self-check: if THIS committer stalled past the grace window
+    // between its manifest reservation and the swap, a concurrent committer
+    // may have healed (replaced) the manifest as a presumed orphan and
+    // swapped CURRENT to the SAME id — this committer's rename then succeeds
+    // while its staged files are absent from the committed manifest. The
+    // manifest carries its committer's id precisely so that case fails
+    // loudly here instead of both callers reporting success.
+    val committed = """"commit":\s*"([^"]+)"""".r
+    val in2 = f.open(mf)
+    val json2 = try new String(org.apache.commons.io.IOUtils.toByteArray(in2),
+      StandardCharsets.UTF_8) finally in2.close()
+    val owner = committed.findFirstMatchIn(json2).map(_.group(1))
+    require(owner.contains(commitId),
+      s"commit $commitId of snapshot $id in $dir was replaced by a concurrent " +
+        s"committer (manifest now owned by ${owner.getOrElse("<missing>")}); " +
+        "this commit's rows are NOT in the table — retry the append")
   }
 
   /** Bin-pack small data files into ~`targetBytes` files and commit the

@@ -163,9 +163,22 @@ final class StreamingDedup(spark: SparkSession, storeDir: String,
   /** Reclaims store state superseded by the newest committed compaction:
     * per-batch delta dirs and markers at or below the watermark, and older
     * compacted_* dirs — bounding both disk use and the per-read marker
-    * listing. Leave a grace period after compacting if readers of older
-    * in-flight queries may still hold the superseded paths. */
-  def expireStore(): Unit = compactedUpTo.foreach { w =>
+    * listing.
+    *
+    * The grace window is ENFORCED, not advisory: a reader whose plan
+    * resolved the superseded paths before the compaction committed (a
+    * readKept/readMetrics union, or an in-flight processBatch join) would
+    * fail on FileNotFound if the sweep ran immediately, so nothing is
+    * deleted until the newest compaction marker is at least `graceMs` old —
+    * the same rule as [[graft.pipeline.LakeTable]]'s orphan-heal grace.
+    * Pass `graceMs = 0` only when no concurrent reader can exist (tests,
+    * single-threaded maintenance). A too-early call is a silent no-op: the
+    * sweep is retried on the next maintenance tick anyway. */
+  def expireStore(graceMs: Long = StreamingDedup.ExpireGraceMs): Unit =
+      compactedUpTo.foreach { w =>
+    val markerAge = System.currentTimeMillis() -
+      fs.getFileStatus(hPath(s"$storeDir/_compactions/$w")).getModificationTime
+    if (markerAge < graceMs) return
     val bases =
       Seq(bandsPath, sigsPath, keptPath, s"$storeDir/metrics")
     bases.foreach { base =>
@@ -298,4 +311,11 @@ final class StreamingDedup(spark: SparkSession, storeDir: String,
       .trigger(Trigger.AvailableNow())
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id))
       .start()
+}
+
+object StreamingDedup {
+  /** Default minimum age of the newest compaction marker before
+    * [[StreamingDedup.expireStore]] deletes anything it superseded. */
+  val ExpireGraceMs: Long =
+    sys.props.get("graft.dedup.expireGraceMs").map(_.toLong).getOrElse(60000L)
 }

@@ -134,19 +134,20 @@ final class StreamingPipeline(spark: SparkSession, outDir: String,
     dictState = Some((vars, lts))
 
     // encode via broadcast maps (sink = logtype_id % 16 for the stream)
-    val bcVars = spark.sparkContext.broadcast(vars)
-    val bcLts = spark.sparkContext.broadcast(lts)
-    val resolve = udf((logtype: String, dictVars: Seq[String], encodedVars: Seq[Long]) => {
-      val ltId = bcLts.value(logtype)
-      val ids = dictVars.map(bcVars.value(_)).toArray
-      (ltId, (ltId % 16).toInt,
-        graft.core.ClpEncoding.mergeVars(logtype, encodedVars.toArray, ids))
-    })
+    // through the same codegen'd clp_resolve Expression as the batch
+    // pipeline — the streaming sink rule is folded into the broadcast map
+    val ltJ = new java.util.HashMap[String, (Long, Int)](lts.size * 2)
+    lts.foreach { case (v, id) => ltJ.put(v, (id, (id % 16).toInt)) }
+    val varJ = new java.util.HashMap[String, java.lang.Long](vars.size * 2)
+    vars.foreach { case (k, v) => varJ.put(k, java.lang.Long.valueOf(v)) }
+    val bcLts = spark.sparkContext.broadcast(ltJ)
+    val bcVars = spark.sparkContext.broadcast(varJ)
     parsed
-      .withColumn("e", resolve(col("logtype"), col("dict_vars"), col("encoded_vars")))
+      .withColumn("e", graft.functions.ClpFunctions.clp_resolve(
+        col("logtype"), col("dict_vars"), col("encoded_vars"), bcLts, bcVars))
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"),
-        col("n_bytes"), col("e._1").as("logtype_id"), col("e._2").as("sink_id"),
-        col("e._3").as("vars"))
+        col("n_bytes"), col("e.logtype_id").as("logtype_id"),
+        col("e.sink_id").as("sink_id"), col("e.vars").as("vars"))
   }
 
   /** Above the threshold nothing dict-sized lands on the driver: anti-join

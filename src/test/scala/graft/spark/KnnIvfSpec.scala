@@ -95,6 +95,51 @@ class KnnIvfSpec extends SparkSpecBase {
     }
   }
 
+  test("production shape: nlist=256 assigns via one argmax_dot, no greatest chain") {
+    // 256 cells over the sf corpus: the assignment plan must stay O(1) —
+    // one broadcast-matrix argmax_dot, not a 256-way greatest of literals
+    val cs256 = KnnIvf.trainCentroids(emb, "vec_id", "embedding", nlist = 256, iters = 1)
+    val indexed = KnnIvf.index(emb, "embedding", cs256)
+    val p = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("argmax_dot"), "expected the broadcast-matrix assignment")
+    assert(!p.contains("greatest("), "per-centroid literal chain crept back")
+    assert(indexed.select("cell").distinct().count() > 1)
+    // the assignment still agrees with the local mirror at this width
+    indexed.select(col("vec_id"), col("embedding"), col("cell")).limit(50)
+      .collect().foreach { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-300)
+        assert(r.getInt(2) == KnnIvf.nearestCentroid(v.map(_ / n), cs256))
+      }
+  }
+
+  test("coarse scan of a persisted index reads codes, never the embedding column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-codes").toString
+    KnnIvf.index(emb.filter(col("vec_id") =!= 0), "embedding", centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val qVec = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    val coarse = KnnIvf.coarseCandidates(stored, centroids, qVec,
+      nProbe = 2, coarseK = 15)
+    val p = coarse.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(readSchemas.contains("codes"), readSchemas)
+    assert(!readSchemas.contains("embedding"),
+      s"coarse scan still reads the float column:\n$readSchemas")
+    // and the quantized end-to-end search on the stored index matches the
+    // in-memory one (codes column vs on-the-fly fallback)
+    val a = KnnIvf.searchQuantized(stored, centroids, qVec,
+      nProbe = 8, coarseK = 15, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = KnnIvf.searchQuantized(
+      KnnIvf.index(emb.filter(col("vec_id") =!= 0), "embedding", centroids).drop("codes"),
+      centroids, qVec, nProbe = 8, coarseK = 15, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "stored-codes path diverged from the on-the-fly fallback")
+  }
+
   test("a partitionBy(cell) index makes the probe a partition-pruned scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     KnnIvf.index(emb, "embedding", centroids)

@@ -76,6 +76,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("[codegen id :"))
   }
 
+  test("encode resolution is the codegen'd clp_resolve expression — UDF-free") {
+    import graft.pipeline.{ClpPipeline, TranscriptGen}
+    val cfg = ClpPipeline.Config("", maxSinks = 8, saltParts = 4)
+    val parsed = ClpPipeline.parse(TranscriptGen.turns(spark, 2000, seed = 7L).toDF)
+    val lkp = TranscriptGen.roleToolLookup(spark)
+    // broadcast mode (dicts under the threshold): clp_resolve carries the maps
+    val pb = executedPlan(
+      ClpPipeline.encodeAndEnrich(parsed, ClpPipeline.buildLogtypeDict(parsed, cfg),
+        ClpPipeline.buildVarDict(parsed, cfg), lkp, cfg))
+    assert(pb.contains("clp_resolve"), "expected the codegen'd encode expression")
+    assert(!pb.contains("UDF("), "interpreted UDF crept back into the encode path")
+    assert(pb.contains("[codegen id :"))
+    // distributed mode (threshold 0): the var splice is clp_merge_vars
+    val cfg0 = cfg.copy(driverDictThreshold = 0L)
+    val pd = executedPlan(
+      ClpPipeline.encodeAndEnrich(parsed, ClpPipeline.buildLogtypeDict(parsed, cfg0),
+        ClpPipeline.buildVarDict(parsed, cfg0), lkp, cfg0))
+    assert(pd.contains("clp_merge_vars"), "expected the codegen'd merge expression")
+    assert(!pd.contains("UDF("), "interpreted UDF crept back into the distributed merge")
+  }
+
   test("curation gates: broadcasts where intended, no cartesian blowups") {
     // unigram LM: the one-row corpus total rides a broadcast, never a
     // shuffle; the vocab join may be broadcast or shuffle (AQE by size)
@@ -136,9 +157,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("Window") && p.contains("hashpartitioning(shard"))
   }
 
-  test("dedup_paragraph: chunk dedup is a keyed shuffle, never all-pairs") {
+  test("dedup_paragraph: chunk dedup is a partial/final agg, not a window on text") {
     val p = executedPlan(graft.GraftQueries.queries("dedup_paragraph")(spark, sf))
     assert(p.contains("hashpartitioning(chunk"))
+    // min(struct) groupBy gets map-side combine; a row_number window on the
+    // chunk string would pile every copy of a hot chunk into one task
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
+    assert(!p.contains("Window"), "window exchange crept back into the chunk dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
@@ -146,6 +171,9 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = executedPlan(graft.GraftQueries.queries("corpus_filter_chain")(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
     assert(!p.contains("SortMergeJoin"))
+    // the exact-dedup step is groupBy(text).agg(min(struct)) — partial agg
+    // absorbs duplicate skew; no Window exchange on a raw-text key
+    assert(!p.contains("Window"), "window exchange crept back into the dedup step")
   }
 
   test("search candidates prune with partition filter on sink_id") {

@@ -95,8 +95,16 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(e.compactStore()) // supersedes the previous watermark
     val finalKept = keptIds(e)
     assert(!finalKept.contains(205L) && finalKept.contains(202L))
+    // a call inside the grace window is a silent no-op — a concurrent
+    // reader may still hold the superseded paths
+    e.expireStore() // default grace: the fresh compaction marker is too young
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/kept/batch_0")),
+      "expireStore deleted inside the grace window")
     // expire reclaims superseded deltas + old compactions; reads unchanged
-    e.expireStore()
+    e.expireStore(graceMs = 0L)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/kept/batch_0")))
     assert(keptIds(e) == finalKept)
     assert(e.readMetrics().count() == 3)
     // replaying an expired (marker-reclaimed) batch id is a no-op
