@@ -2312,6 +2312,44 @@ object GraftQueries {
         |ORDER BY doc_id""".stripMargin,
     "ir_roundtrip" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY 1",
+    // the pruned SemDeDup path fully recomputed: seed centroids (iters=0 →
+    // normalized embeddings of the 4 lowest vec_ids, the same x/sqrt(Σx²)
+    // chain as vec_normalize), cell = argmax dot (ties → smallest cid, the
+    // argmax_dot rule), candidate pairs restricted to same-cell, exact
+    // cosine kernel, recursive-CTE connected components, keep the minimum
+    "dedup_semantic" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM embeddings),
+        |nrm AS (SELECT vec_id, embedding, emb,
+        |          sqrt(list_inner_product(emb, emb)) AS nn FROM e0),
+        |n AS (SELECT vec_id, embedding, nn,
+        |        CASE WHEN nn > 0 THEN list_transform(emb, x -> x / nn)
+        |             ELSE emb END AS ne
+        |      FROM nrm),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ne AS c
+        |         FROM (SELECT vec_id, ne FROM n ORDER BY vec_id LIMIT 4)),
+        |scored AS (SELECT n.vec_id, cent.cid, list_inner_product(n.ne, cent.c) AS dt
+        |           FROM n, cent),
+        |assign AS (SELECT vec_id, cid AS cell FROM (
+        |             SELECT vec_id, cid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cid) AS rn
+        |             FROM scored) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  JOIN assign aa ON aa.vec_id = a.vec_id
+        |  JOIN assign ab ON ab.vec_id = b.vec_id AND aa.cell = ab.cell
+        |  WHERE a.nn > 0 AND b.nn > 0
+        |    AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4),
+        |e AS (SELECT a_id AS es, b_id AS ed FROM p
+        |  UNION SELECT b_id, a_id FROM p),
+        |r(id, lbl) AS (
+        |  SELECT es, es FROM e
+        |  UNION
+        |  SELECT e.ed, r.lbl FROM r JOIN e ON e.es = r.id),
+        |drop AS (SELECT id FROM r GROUP BY id HAVING id <> min(lbl))
+        |SELECT vec_id AS id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM drop) ORDER BY id""".stripMargin,
     "dedup_semantic_all" ->
       """WITH RECURSIVE p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -14,12 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = GraftQueries.queries
 
-  /** DuckDB-runnable oracle per query. The LSH/banding queries recompute
-    * their deterministic plane/signature sets inside the SQL (inlined
-    * DOUBLE[] literals / per-band equality joins), so the only rows-only
-    * queries left are the two whose non-SQL step is k-means: knn_ivf at
-    * nProbe=2 and dedup_semantic at nlist=4. Their exact twins
-    * (knn_ivf_all, dedup_semantic_all) ARE oracle-checked, and
-    * KnnIvfSpec / SemanticDedupSpec assert recall. */
+  /** DuckDB-runnable oracle per query — every query has one. The
+    * LSH/banding queries recompute their deterministic plane/signature sets
+    * inside the SQL (inlined DOUBLE[] literals / per-band equality joins),
+    * and the two k-means-backed gates (knn_ivf, dedup_semantic) run
+    * seed-centroid indexes (iters = 0) whose assignment argmax is plain SQL,
+    * so the pruned search paths are fully recomputable too. Their exact
+    * twins (knn_ivf_all, dedup_semantic_all) stay gated as well, and
+    * KnnIvfSpec / SemanticDedupSpec assert recall on the TRAINED path. */
   def oracleSql: Map[String, String] = GraftQueries.oracleSql
 }
