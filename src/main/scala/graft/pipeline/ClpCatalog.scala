@@ -100,6 +100,99 @@ object ClpCatalog {
             (tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi))) => id
     }.toSeq
 
+  /** Fleet retention sweep — the reference's archive garbage collector
+    * (`job_orchestration/garbage_collector/archive_garbage_collector.py:37-96`
+    * and `docs/src/user-docs/guides-retention.md`): retire every archive
+    * whose NEWEST event is older than `horizon`, metadata-first with a
+    * durable deletion-candidates buffer so a crash anywhere resumes cleanly.
+    *
+    * Expiry rule (exactly the reference's `end_timestamp < %s AND
+    * end_timestamp != 0` predicate): `end_ts` non-null and strictly before
+    * `horizon`. Archives whose turns carry no timestamps have null bounds
+    * and are NEVER age-retired — their age is unknowable, same as the
+    * reference's `!= 0` guard.
+    *
+    * Crash-safety protocol (the reference's `DeletionCandidatesBuffer`
+    * recovery file, re-ordered for an atomic catalog):
+    *   1. heal: candidate ids from a previous crashed sweep that are NO
+    *      LONGER in the committed catalog get their directories deleted
+    *      (the previous sweep committed but died mid-delete); candidates
+    *      still listed in the catalog are dropped (it died BEFORE the
+    *      commit — their data is still live).
+    *   2. persist the new candidate ids (tmp + rename);
+    *   3. commit the pruned catalog (atomic [[LakeTable]] overwrite) — from
+    *      this instant no new search routes to the retired archives;
+    *   4. delete the retired archive directories;
+    *   5. clear the buffer.
+    * The heal step's membership test makes every interleaving safe: a
+    * candidate is deletable iff the catalog no longer references it.
+    *
+    * Time travel: `asOf` reads of OLDER catalog snapshots still list retired
+    * ids, but opening those archives fails once their dirs are gone —
+    * retention bounds time travel, as on any lake. Pass
+    * `expireCatalogSnapshots = Some(k)` to also drop all but the last `k`
+    * catalog snapshots (cascades to [[LakeTable.expire]]).
+    *
+    * The horizon is the caller's policy knob: a deployment computes it as
+    * `now - retention_period`, clamped by the oldest RUNNING query's start
+    * time when a job table exists (the reference's
+    * `_get_archive_safe_expiry_epoch`) or by the oldest pinned catalog
+    * snapshot still in use.
+    *
+    * Returns the archive ids retired by THIS sweep (healed leftovers from a
+    * crashed sweep are deleted but not re-reported — they were reported by
+    * the sweep that committed them). */
+  def retire(spark: SparkSession, outDir: String, horizon: java.sql.Timestamp,
+             expireCatalogSnapshots: Option[Int] = None): Seq[String] = {
+    val candidatesPath = new org.apache.hadoop.fs.Path(s"$outDir/_retention_candidates")
+    val fs = candidatesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def archiveDir(id: String) = new org.apache.hadoop.fs.Path(s"$outDir/archives/$id")
+    def deleteArchives(ids: Seq[String]): Unit =
+      ids.foreach(id => fs.delete(archiveDir(id), true))
+    def readCandidates(): Seq[String] =
+      if (!fs.exists(candidatesPath)) Nil
+      else {
+        val in = fs.open(candidatesPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    def writeCandidates(ids: Seq[String]): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_retention_candidates.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
+      fs.delete(candidatesPath, false)
+      require(fs.rename(tmp, candidatesPath), s"rename failed for $candidatesPath")
+    }
+
+    val registered = entries(spark, outDir).map(_._1).toSet
+
+    // 1. heal a crashed previous sweep
+    val leftover = readCandidates()
+    if (leftover.nonEmpty) {
+      deleteArchives(leftover.filterNot(registered.contains))
+      fs.delete(candidatesPath, false)
+    }
+
+    // expiry scan over catalog metadata only (never data)
+    val retired = entries(spark, outDir).collect {
+      case (id, _, end) if end != null && end.before(horizon) => id
+    }.toSeq.sorted
+    if (retired.nonEmpty) {
+      // 2. durable candidates; 3. atomic catalog commit; 4. delete; 5. clear
+      writeCandidates(retired)
+      val keep = LakeTable.read(spark, s"$outDir/catalog")
+        .filter(!col("archive_id").isInCollection(retired))
+      LakeTable.overwrite(spark, s"$outDir/catalog", keep)
+      deleteArchives(retired)
+      fs.delete(candidatesPath, false)
+    }
+    expireCatalogSnapshots.foreach(k =>
+      LakeTable.expire(spark, s"$outDir/catalog", keepLast = k))
+    retired
+  }
+
   /** Cross-archive search: catalog-pruned per-archive plans, one union —
     * each branch runs the full encoded-domain lifecycle (dict probe → sink
     * prune → encoded match → decode → verify) inside its own archive. */

@@ -97,6 +97,59 @@ class ClpCatalogSpec extends SparkSpecBase {
     assert(!ClpCatalog.entries(spark, catalogDir).exists(_._1 == "ghost"))
   }
 
+  test("retention sweep retires aged archives, spares null-bounds, resumes a crash") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-retire").toString
+    // 4 timed slices + 2 null-ts turns (a null-bounds archive) = 5 archives
+    val withNulls = turns.unionByName(
+      turns.limit(2).withColumn("ts", lit(null).cast("timestamp"))
+        .withColumn("turn_idx", col("turn_idx") + 1000))
+    ClpCatalog.ingest(spark, withNulls,
+      when(col("ts").isNull, lit("unts"))
+        .otherwise(floor(col("turn_idx") / 5).cast("string")), out)
+    assert(ClpCatalog.entries(spark, out).length == 5)
+    val preSnapshots = graft.pipeline.LakeTable.snapshots(spark, s"$out/catalog")
+
+    // horizon at 250 s: arch_0 [0,100) and arch_1 [100,200) are fully older;
+    // arch_2 ends at 299 and survives; the null-bounds archive is NEVER aged
+    val retired = ClpCatalog.retire(spark, out, ts(250))
+    assert(retired == Seq("arch_0", "arch_1"))
+    assert(ClpCatalog.entries(spark, out).map(_._1).sorted.toSeq ==
+      Seq("arch_2", "arch_3", "arch_unts"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/archives/arch_0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/archives/arch_2")))
+    // search still answers over the survivors; retired rows are gone
+    assert(ClpCatalog.search(spark, out, "*").count() == 202)
+    // time travel to the pre-retire snapshot still LISTS the retired ids
+    // (retention bounds time travel; opening them would fail)
+    assert(ClpCatalog.entries(spark, out, asOf = preSnapshots.lastOption)
+      .map(_._1).contains("arch_0"))
+    // idempotent: nothing left past the horizon
+    assert(ClpCatalog.retire(spark, out, ts(250)).isEmpty)
+
+    // crashed sweep: candidates persisted + catalog committed, dirs NOT yet
+    // deleted (died between steps 3 and 4) — the next sweep heals
+    val keep = graft.pipeline.LakeTable.read(spark, s"$out/catalog")
+      .filter(col("archive_id") =!= "arch_2")
+    val cand = new org.apache.hadoop.fs.Path(s"$out/_retention_candidates")
+    val os = fs.create(cand, true); os.write("arch_2".getBytes("UTF-8")); os.close()
+    graft.pipeline.LakeTable.overwrite(spark, s"$out/catalog", keep)
+    assert(ClpCatalog.retire(spark, out, ts(-1)).isEmpty) // heal-only sweep
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/archives/arch_2")))
+    assert(!fs.exists(cand))
+
+    // crashed BEFORE the commit: candidate still registered — data survives
+    val os2 = fs.create(cand, true); os2.write("arch_3".getBytes("UTF-8")); os2.close()
+    assert(ClpCatalog.retire(spark, out, ts(-1)).isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/archives/arch_3")))
+    assert(ClpCatalog.search(spark, out, "*").count() == 102)
+
+    // cascade: expire catalog history down to the newest snapshot
+    ClpCatalog.retire(spark, out, ts(-1), expireCatalogSnapshots = Some(1))
+    assert(graft.pipeline.LakeTable.snapshots(spark, s"$out/catalog").length == 1)
+  }
+
   test("cross-archive union search equals one archive over the whole corpus") {
     val single = java.nio.file.Files.createTempDirectory("graft-cat-one").toString
     graft.pipeline.ClpPipeline.run(spark, turns,
