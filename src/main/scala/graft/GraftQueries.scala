@@ -1078,6 +1078,32 @@ object GraftQueries {
         .orderBy("doc_id")
     }),
 
+    "text_classifier_weighted" -> ((s, d) => {
+      // the PRODUCTION wiring of text_classifier_score: the model is a real
+      // (feature_hash, weight) TABLE broadcast-joined onto the exploded
+      // feature stream — swapping in trained fastText weights means
+      // replacing this table, nothing else changes. The table here derives
+      // deterministically from the corpus' own distinct feature hashes
+      // (w(h) = h % 1001 - 500, the same stub arithmetic), so the oracle
+      // recomputes end-to-end and the scores equal text_classifier_score
+      // by construction. Plan shape (asserted in PlanQualitySpec): explode →
+      // broadcast hash join (the model side is model-sized, never
+      // corpus-sized) → partial/final hash aggregate.
+      val words = split(col("text"), " ")
+      val feats = when(size(words) >= 2,
+        transform(sequence(lit(1), size(words) - 1), i =>
+          mdHash(concat_ws(" ", element_at(words, i), element_at(words, i + 1)))))
+        .otherwise(array().cast("array<long>"))
+      val fdf = t(s, d, "documents").select(col("doc_id"), explode(feats).as("h"))
+      val weightsTable = fdf.select(col("h")).distinct()
+        .withColumn("wt", col("h") % 1001L - 500L)
+      fdf.join(broadcast(weightsTable), Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("wt").as("score"))
+        .withColumn("keep", when(col("score") > 0, 1).otherwise(0))
+        .orderBy("doc_id")
+    }),
+
     "dedup_substring" -> ((s, d) => {
       // Substring-level dedup (Lee et al. 2022, arXiv:2107.06499): any
       // k-token window shared by >=2 DISTINCT documents marks its tokens as
@@ -2102,6 +2128,18 @@ object GraftQueries {
          |       CAST(sum(wt) AS BIGINT) AS score,
          |       CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS keep
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same scores through the weight-TABLE join (the production model
+    // wiring): distinct feature hashes → (h, wt) model table → join + sum
+    "text_classifier_weighted" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |f AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-1),
+         |        i -> ${sqlHash("words[i] || ' ' || words[i+1]")})) AS h
+         |      FROM w),
+         |m AS (SELECT DISTINCT h, (h % 1001) - 500 AS wt FROM f)
+         |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |       CAST(sum(m.wt) AS BIGINT) AS score,
+         |       CASE WHEN sum(m.wt) > 0 THEN 1 ELSE 0 END AS keep
+         |FROM f JOIN m USING (h) GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
     "dedup_substring" ->
       s"""$sqlSubstringGramsCte,
          |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),

@@ -176,6 +176,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Window"), "window exchange crept back into the dedup step")
   }
 
+  test("text_classifier_weighted: the model table joins broadcast, agg is partial/final") {
+    val p = executedPlan(graft.GraftQueries.queries("text_classifier_weighted")(spark, sf))
+    // the (feature_hash, weight) model side is model-sized — it must ride a
+    // broadcast, never shuffle the corpus-sized feature stream into a
+    // sort-merge join
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
+  }
+
   test("search candidates prune with partition filter on sink_id") {
     val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val turns = graft.pipeline.TranscriptGen.turns(spark, 1500, seed = 5L).toDF
