@@ -78,7 +78,7 @@ object CurationScaleProbe {
     val scaledDocs = docs.select(col("*"), copyIdx)
       .withColumn("doc_id", col("doc_id") + col("copy") * lit(10000000L))
       .withColumn("text", when(col("copy") === 0, col("text"))
-        .otherwise(regexp_replace(col("text"), " ",
+        .otherwise(regexp_replace(col("text"), lit(" "),
           concat(lit(" k"), col("copy").cast("string"), lit("x ")))))
       .drop("copy")
     val dim = embs.selectExpr("size(embedding) AS d").head().getInt(0)
