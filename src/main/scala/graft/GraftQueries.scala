@@ -842,6 +842,65 @@ object GraftQueries {
             - log(col("total").cast("double")), 4).as("logprob"))
         .orderBy("doc_id")
     }),
+    "ccnet_ppl_buckets" -> ((s, d) => {
+      // CCNet's head/middle/tail quality bucketing (arXiv:1911.00359 §3.3):
+      // the corpus-trained LM scores each document and fixed calibration
+      // thresholds cut the corpus into three quality tiers (CCNet computes
+      // the cutoffs offline per language; here they are config constants).
+      // The compare runs on an INTEGER score — round(logprob·1e4) — so the
+      // bucket boundaries are integer-exact in both engines (an FP `<` at a
+      // threshold would be sum-order-sensitive). Same two-pass distributed
+      // shape as text_unigram_logprob (partial-agg vocab, model joined back
+      // under AQE, one-row corpus total broadcast); the bucketing itself is
+      // a per-row expression — zero added shuffles, no global sort/window
+      // (a percentile-rank bucketing would need one; fixed thresholds are
+      // both the production semantics and the 100 TB-safe plan).
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      toks.join(vocab, "tok")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n"),
+          sum(log(col("cnt").cast("double"))).as("_sl"))
+        .crossJoin(broadcast(total))
+        .withColumn("ilp",
+          round((col("_sl") / col("n") - log(col("total").cast("double"))) * 10000).cast("long"))
+        .select(col("doc_id"), col("ilp"),
+          when(col("ilp") >= -34000L, "head")
+            .when(col("ilp") >= -34040L, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+    "vocab_topk" -> ((s, d) => {
+      // vocabulary induction's first pass (BPE / unigram tokenizer trainers
+      // all start from global token frequencies): top-k tokens by corpus
+      // count, ties broken by token for a deterministic cut. Scale shape:
+      // partial/final hash aggregate (map-side combine absorbs hot tokens)
+      // then TakeOrderedAndProject — each partition keeps only its k best,
+      // the driver merges k·P candidate rows, the full vocabulary never
+      // sorts globally and never lands on one node.
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(100)
+    }),
+    "corpus_stats" -> ((s, d) => {
+      // the datasheet aggregation every corpus release ships (docs / tokens
+      // / bytes / distinct-text dup-rate per language × source slice): one
+      // partial-aggregating pass over the corpus. countDistinct is exact at
+      // gate scale for oracle parity; at 100 TB swap in
+      // approx_count_distinct (HLL sketch — same plan shape, mergeable,
+      // no per-group value buffering).
+      t(s, d, "documents").groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("text")).as("n_uniq"))
+        .orderBy("lang", "source")
+    }),
     "text_rep_ratio" -> ((s, d) => {
       // within-doc repetition signal (the Gopher-style repetition filter):
       // duplicate 3-gram fraction per doc, integer-exact — flag_rep is
@@ -2119,6 +2178,31 @@ object GraftQueries {
         |  round(sum(ln(cnt)) / count(*) - ln((SELECT total FROM tot)), 4) AS logprob
         |FROM t2 JOIN vocab USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ccnet_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab),
+        |sc AS (SELECT doc_id,
+        |  CAST(round((sum(ln(cnt)) / count(*) - ln((SELECT total FROM tot))) * 10000) AS BIGINT) AS ilp
+        |  FROM t2 JOIN vocab USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, ilp,
+        |  CASE WHEN ilp >= -34000 THEN 'head'
+        |       WHEN ilp >= -34040 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |)
+        |SELECT tok, count(*) AS cnt FROM toks WHERE tok <> ''
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
+    "corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT text) AS n_uniq
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_classifier_score" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |f AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-1),

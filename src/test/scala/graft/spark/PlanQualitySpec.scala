@@ -199,6 +199,29 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("PartitionFilters") && p.contains("sink_id"))
   }
 
+  test("vocab_topk: partial/final agg + TakeOrderedAndProject, no global sort") {
+    val p = executedPlan(graft.GraftQueries.queries("vocab_topk")(spark, sf))
+    // per-partition top-k merge on the driver — the full vocabulary must
+    // never pass through a global Sort/Exchange to satisfy the limit
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(30).mkString("\n"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
+  }
+
+  test("ccnet_ppl_buckets: bucketing adds no window/sort over the score pass") {
+    val p = executedPlan(graft.GraftQueries.queries("ccnet_ppl_buckets")(spark, sf))
+    // fixed-threshold buckets are per-row CASE exprs: the only shuffles are
+    // the two aggregations (vocab, per-doc) + the model join — a
+    // percentile-rank bucketing would add a Window over the whole corpus
+    assert(!p.contains("Window"), "global window crept into the bucketing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
+  }
+
+  test("corpus_stats: single partial/final aggregation pass, no window") {
+    val p = executedPlan(graft.GraftQueries.queries("corpus_stats")(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
+    assert(!p.contains("Window"))
+  }
+
   test("shredded archive: KQL reads only the queried variant subcolumns, never _raw") {
     val df = graft.GraftQueries.queries("jsonl_kql_shredded")(spark, sf)
     val p = executedPlan(df)
