@@ -92,9 +92,23 @@ object Dedup {
    * @param bandRows rows per band `r` (bands b = nFns / r); tune the
    *                 1-(1-j^r)^b S-curve to the target similarity
    * @param jMin     exact-Jaccard verify threshold
+   * @param hotBucketCap buckets larger than this emit STAR candidates
+   *                 (bucket-min ↔ each member) instead of all pairs. A
+   *                 boilerplate-heavy corpus puts a hot shingle's whole
+   *                 cohort into one (band, key) bucket — all-pairs there is
+   *                 O(c²) in the cohort (a 2556-doc bucket is 3.3M
+   *                 candidates), which no verify kernel outruns at 100 TB.
+   *                 The star keeps every member connected to the bucket in
+   *                 the candidate graph, so the downstream
+   *                 [[connectedComponents]] dedup still merges the cohort
+   *                 (members whose star edge fails the Jaccard verify can
+   *                 still connect through their OTHER bands); the verified
+   *                 pair LIST is no longer exhaustive inside hot buckets —
+   *                 callers that need every pair keep the default no-cap.
    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      nFns: Int, bandRows: Int, jMin: Double): DataFrame = {
+                      nFns: Int, bandRows: Int, jMin: Double,
+                      hotBucketCap: Int = Int.MaxValue): DataFrame = {
     require(nFns % bandRows == 0, "nFns must be a multiple of bandRows")
     val nBands = nFns / bandRows
     val (fa, fb) = minhashFamily(nFns)
@@ -114,11 +128,31 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(nBands - 1)), bnd =>
         xxhash64(bnd, slice(col("sigs"), bnd * bandRows + 1, lit(bandRows)))))
         .as(Seq("band", "key")))
-    val pairs = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
-      .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")),
-        Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val pairs = (if (hotBucketCap == Int.MaxValue) {
+      banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
+        .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")),
+          Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+    } else {
+      // per-bucket size + min in ONE narrow partial-aggregating pass; the
+      // all-pairs self-join runs only under the cap, hot buckets emit the
+      // linear star (rep = bucket min, so rep < member always holds)
+      val stats = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("sz"), min(col("doc_id")).as("rep"))
+      val tagged = banded.join(stats, Seq("band", "key"))
+      val small = tagged.filter(col("sz") <= hotBucketCap)
+        .select(col("band"), col("key"), col("doc_id"))
+      val smallPairs = small.select(col("band"), col("key"), col("doc_id").as("a_id"))
+        .join(small.select(col("band"), col("key"), col("doc_id").as("b_id")),
+          Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+      val hotPairs = tagged.filter(col("sz") > hotBucketCap)
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+      smallPairs.unionByName(hotPairs)
+    }).distinct()
     val shTbl = base.select(col("doc_id"), col("sh"))
     pairs
       .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))

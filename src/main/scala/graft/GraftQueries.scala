@@ -28,9 +28,11 @@ object GraftQueries {
   }
 
   /** Cross-engine token hash: first 15 hex chars of md5 as int64 (computable
-    * identically in DuckDB: CAST('0x'||substr(md5(s),1,15) AS BIGINT)). */
-  private def mdHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * identically in DuckDB: CAST('0x'||substr(md5(s),1,15) AS BIGINT)).
+    * One fused expression (digest → 60-bit long, no hex-string round trip)
+    * because the curation gates evaluate it inside interpreted HOF lambdas —
+    * ClpExpressionsSpec pins it bit-equal to the 3-expression Spark chain. */
+  private def mdHash(c: Column): Column = ClpFunctions.md5_prefix64(c)
 
   /** 3-gram word shingles (1-based element_at matches DuckDB list indexing).
     * Guarded for <3 tokens: sequence(1, 0) would auto-step -1 in Spark while
@@ -43,16 +45,55 @@ object GraftQueries {
       .otherwise(array().cast("array<string>"))
 
   private val MinhashFns: Seq[(Int, Int)] = Seq((7, 3), (11, 5), (13, 17), (19, 23))
-  private val MinhashMod = 1000033L
+  // ~2^40-scale primes: the band key IS the signature value (r=1 demo
+  // bands), so the key domain must outgrow any corpus this family will
+  // band — at a 10^6 domain the candidate-pair count grows as n^2/10^6
+  // (the 10x scale probe measured the pair gate quadratic: 50k docs x 4
+  // bands = 5M accidental bucket collisions before any true near-dup).
+  // int64-safe: a <= 19, so a*(h%P1)+b < 2^45; both engines do exact
+  // BIGINT arithmetic. The production 128-fn family (Dedup.minhashFamily)
+  // bands r=2 rows, squaring its effective key domain instead.
+  private val MinhashP1 = 999999999989L
+  private val MinhashMod = 999999999961L
 
-  private def minhash(sh: Column, a: Int, b: Int): Column =
-    // NULL on an empty shingle set, matching the DuckDB oracle's
-    // list_aggregate(..., 'min') over an empty list (MinHash is undefined
-    // there — a MaxValue sentinel would co-sign every short doc)
-    when(size(sh) > 0,
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, (lit(a.toLong) * (mdHash(s) % 1000003L) + lit(b.toLong)) % MinhashMod)))
-      .otherwise(lit(null).cast("long"))
+  /** The doc's distinct shingles as 60-bit mdHash values — md5 computed
+    * ONCE per distinct shingle. Everything MinHash-shaped derives from
+    * these 8-byte values: the signature fold is pure arithmetic, and the
+    * pair-verify kernel intersects hashed arrays instead of shipping raw
+    * 3-word shingle strings through a shuffle (cross-doc hash collisions
+    * at 2^60 are ~1e-14; the DuckDB oracle computes the identical hashed
+    * kernel). MinHash over a multiset equals MinHash over its distinct
+    * set, so signatures are unchanged by the dedup. The 10× scale probe
+    * motivated this shape: the previous per-function interpreted-HOF md5
+    * made the pair gate the one superlinear entry (23× wall, 916 MB
+    * spill from string arrays riding the verify shuffle). */
+  private def hashedShingles(sh: Column): Column =
+    transform(array_distinct(sh), s => mdHash(s))
+
+  /** All demo-family signatures in ONE fold over the hashed shingles
+    * (array accumulator — a per-function fold would re-evaluate the
+    * interpreted HOF, and with it the md5 pass, once per function).
+    * Element j is mh_j; an empty shingle set yields all-null elements,
+    * matching the oracle's list_aggregate(…,'min') over an empty list
+    * (a MaxValue sentinel would co-sign every short doc). */
+  private def minhashFold(hd: Column): Column =
+    aggregate(hd,
+      array(MinhashFns.map(_ => lit(Long.MaxValue)): _*),
+      (acc, h) => array(MinhashFns.zipWithIndex.map { case ((a, b), j) =>
+        least(element_at(acc, j + 1),
+          (lit(a.toLong) * (h % MinhashP1) + lit(b.toLong)) % MinhashMod)
+      }: _*))
+
+  private val minhashNulls: Column =
+    array(MinhashFns.map(_ => lit(null).cast("bigint")): _*)
+
+  private def minhashSigsFromHashed(hd: Column): Column =
+    when(size(hd) > 0, minhashFold(hd)).otherwise(minhashNulls)
+
+  private def minhashSigs(sh: Column): Column =
+    // guard on the raw shingle count: size(hashedShingles(sh)) would pay
+    // the md5 pass a second time just to decide emptiness
+    when(size(sh) > 0, minhashFold(hashedShingles(sh))).otherwise(minhashNulls)
 
   /** Verified near-dup pairs: exact 3-gram Jaccard ≥ 0.2 over all doc pairs
     * — the shared kernel behind `dedup_ngram_jaccard` (the pair gate) and
@@ -184,6 +225,32 @@ object GraftQueries {
       out
     })
   }
+
+  /** Fleet fixture for the dictionary-Bloom catalog prune: the searchTurns
+    * corpus with one slice-specific dictionary token appended ("job0".."job3"
+    * — letter+digit, so it lands in each archive's var dictionary, never the
+    * encoded-int stream), sliced into 4 archives exactly like
+    * [[searchCatalog]]. A token query then distinguishes archives by
+    * dictionary CONTENT, which the shared-vocabulary searchCatalog fixture
+    * cannot (all 4 of its archives carry the same 5 lang tokens). */
+  private val bloomCatalogCache = scala.collection.mutable.Map.empty[String, String]
+  private def bloomCatalog(s: SparkSession, d: String): String = bloomCatalogCache.synchronized {
+    bloomCatalogCache.getOrElseUpdate(d, {
+      withClp(s)
+      val out = java.nio.file.Files.createTempDirectory("graft-bloomcat").toString
+      val slice = least(
+        floor((unix_millis(col("ts")) - 1704067200000L) / 125000L), lit(3L))
+      val turns = searchTurns(s, d)
+        .withColumn("text",
+          concat(col("text"), lit(" job"), slice.cast("string"), lit(" fin")))
+      graft.pipeline.ClpCatalog.ingest(s, turns, slice, out)
+      out
+    })
+  }
+
+  /** DuckDB twin of [[bloomCatalog]]'s text column. */
+  private val sqlBloomText =
+    s"($sqlSearchText) || ' job' || CAST(least(doc_id // 125, 3) AS VARCHAR) || ' fin'"
 
   /** Full lifecycle: compile → dict probe → sink/ts prune → encoded-domain
     * match (subseq/isin) → decode → verify-iff-imprecise → stable order. */
@@ -477,6 +544,16 @@ object GraftQueries {
       graft.pipeline.ClpCatalog.search(s, searchCatalog(s, d), "* code=es *",
           tsLo = Some(new java.sql.Timestamp(1704067200000L + 130000L)),
           tsHi = Some(new java.sql.Timestamp(1704067200000L + 260000L)))
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")),
+    "clp_catalog_bloom_prune" -> ((s, d) =>
+      // fleet-level token pruning: the per-archive dictionary Bloom summary
+      // in the catalog admits only archives that can contain the query's
+      // exact dictionary tokens — "* job2 *" opens ONE of the 4 archives
+      // (ClpCatalogSpec asserts the prune; this gate checks the surviving
+      // archive still answers exactly). A Bloom false positive only costs
+      // an extra archive open; a miss is definitive by construction.
+      graft.pipeline.ClpCatalog.search(s, bloomCatalog(s, d), "* job2 *")
         .select("conv_id", "turn_idx")
         .orderBy("conv_id", "turn_idx")),
     "clp_search_limit" -> ((s, d) =>
@@ -1443,13 +1520,16 @@ object GraftQueries {
 
     // ---- near-dup dedup family ----
     "dedup_minhash_sig" -> ((s, d) => {
-      // MinHash over 3-gram shingles (md5-based hash family — DuckDB-mirrorable)
-      val w = split(col("text"), " ")
-      val sh = shingles(w)
-      val sigCols = MinhashFns.zipWithIndex.map { case ((a, b), j) =>
-        minhash(sh, a, b).as(s"mh$j")
-      }
-      t(s, d, "documents").select(col("doc_id") +: sigCols: _*).orderBy("doc_id")
+      // MinHash over 3-gram shingles (md5-based hash family —
+      // DuckDB-mirrorable): one hashed pass + one fold for all functions,
+      // unpacked into columns in a SECOND projection — CollapseProject
+      // keeps the expensive fold un-inlined, so it runs once per row
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          minhashSigs(shingles(split(col("text"), " "))).as("sigs"))
+        .select(col("doc_id") +: MinhashFns.indices.map(j =>
+          element_at(col("sigs"), j + 1).as(s"mh$j")): _*)
+        .orderBy("doc_id")
     }),
     "dedup_simhash" -> ((s, d) => {
       // SimHash (8-bit demo width): per-bit majority of token-hash bits
@@ -1511,32 +1591,33 @@ object GraftQueries {
       // full MinHash+LSH dedup: band → bucket join → exact-jaccard verify.
       // Bands of 1 row over 4 sigs, verify j >= 0.2. Oracle: with r=1 the
       // band key IS the signature value, so DuckDB re-derives the candidate
-      // set as an OR of per-band signature equalities.
-      val w = split(col("text"), " ")
-      val sh = shingles(w)
-      val sigCols = MinhashFns.zipWithIndex.map { case ((a, b), j) =>
-        minhash(sh, a, b).as(s"mh$j")
-      }
-      val docs = t(s, d, "documents")
-        .select(col("doc_id") +: array_distinct(sh).as("sh") +: sigCols: _*)
+      // set as an OR of per-band signature equalities. The verify kernel
+      // intersects the docs' DISTINCT 60-bit shingle-hash sets (see
+      // hashedShingles) — Jaccard over them equals Jaccard over the raw
+      // shingle sets up to a ~1e-14 collision, md5 runs once per shingle,
+      // and the shuffle carries 8-byte elements instead of 3-word strings
+      // (the 10× scale probe measured the string-array variant at 23×
+      // wall / 916 MB spill; this shape is linear in the pair count).
+      val hdocs = t(s, d, "documents").select(col("doc_id"),
+        hashedShingles(shingles(split(col("text"), " "))).as("hd"))
+      val docs = hdocs.select(col("doc_id"), col("hd"),
+        minhashSigsFromHashed(col("hd")).as("sigs"))
       // bucket join + pair dedup on NARROW (a_id, b_id) keys only — the
-      // shingle arrays never enter the band shuffle or the distinct; they are
+      // hash arrays never enter the band shuffle or the distinct; they are
       // re-joined afterwards for the verify kernel
-      val banded = docs.select(col("doc_id"),
-        explode(array(MinhashFns.indices.map(j =>
-          struct(lit(j).as("band"), col(s"mh$j").as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val banded = docs
+        .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "key")))
+        .filter(col("key").isNotNull)
       val pairs = banded.select(col("band"), col("key"), col("doc_id").as("a_id"))
         .join(banded.select(col("band"), col("key"), col("doc_id").as("b_id")), Seq("band", "key"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      val shTbl = docs.select(col("doc_id"), col("sh"))
       pairs
-        .join(shTbl.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-        .join(shTbl.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+        .join(hdocs.select(col("doc_id").as("a_id"), col("hd").as("a_hd")), Seq("a_id"))
+        .join(hdocs.select(col("doc_id").as("b_id"), col("hd").as("b_hd")), Seq("b_id"))
         .withColumn("j", round(
-          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-            size(array_union(col("a_sh"), col("b_sh"))).cast("double"), 4))
+          size(array_intersect(col("a_hd"), col("b_hd"))).cast("double") /
+            size(array_union(col("a_hd"), col("b_hd"))).cast("double"), 4))
         .filter(col("j") >= 0.2)
         .select("a_id", "b_id", "j").orderBy("a_id", "b_id")
     }),
@@ -1574,8 +1655,7 @@ object GraftQueries {
       // batch identity at production widths (128 fns, r=2).
       val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
       val eng = new graft.streaming.StreamingDedup(s, dir, nFns = 4, bandRows = 1,
-        jMin = 0.5, sigsOf = Some(sh =>
-          array(MinhashFns.map { case (a, b) => minhash(sh, a, b) }: _*)))
+        jMin = 0.5, sigsOf = Some(sh => minhashSigs(sh)))
       val docs = t(s, d, "documents").select("doc_id", "text")
       val maxRow = docs.agg(max("doc_id")).head
       if (maxRow.isNullAt(0)) docs.select("doc_id") // empty corpus: no batches
@@ -1597,8 +1677,7 @@ object GraftQueries {
       // checked, not just sbt-asserted.
       val dir = java.nio.file.Files.createTempDirectory("graft-sdm").toString
       val eng = new graft.streaming.StreamingDedup(s, dir, nFns = 4, bandRows = 1,
-        jMin = 0.5, sigsOf = Some(sh =>
-          array(MinhashFns.map { case (a, b) => minhash(sh, a, b) }: _*)))
+        jMin = 0.5, sigsOf = Some(sh => minhashSigs(sh)))
       val docs = t(s, d, "documents").select("doc_id", "text")
       val maxRow = docs.agg(max("doc_id")).head
       if (maxRow.isNullAt(0)) {
@@ -1746,7 +1825,7 @@ object GraftQueries {
        |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
 
   private val sqlMinhashCols: String = MinhashFns.zipWithIndex.map { case ((a, b), j) =>
-    s"CAST(list_aggregate(list_transform(sh, t -> ($a * (${sqlHash("t")} % 1000003) + $b) % $MinhashMod), 'min') AS BIGINT) AS mh$j"
+    s"CAST(list_aggregate(list_transform(sh, t -> ($a * (${sqlHash("t")} % $MinhashP1) + $b) % $MinhashMod), 'min') AS BIGINT) AS mh$j"
   }.mkString(",\n  ")
 
   /** DuckDB form of [[KnnLsh.bucketCol]]: the deterministic plane set
@@ -1897,6 +1976,8 @@ object GraftQueries {
     "clp_catalog_search" ->
       sqlSearchSelect(
         s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 130 AND 260"),
+    "clp_catalog_bloom_prune" ->
+      sqlSearchSelect(s"($sqlBloomText) LIKE '% job2 %'"),
     "clp_search_limit" ->
       s"""SELECT CAST(least(40, (SELECT count(*) FROM documents
          |  WHERE ($sqlSearchText) LIKE '% code=es %')) AS BIGINT) AS n""".stripMargin,
@@ -2381,11 +2462,13 @@ object GraftQueries {
     // equalities — the whole LSH pipeline under the oracle
     "dedup_minhash_pairs" ->
       s"""$sqlShinglesCte,
-         |sd AS (SELECT doc_id, list_distinct(sh) AS shd, $sqlMinhashCols FROM s)
+         |sd AS (SELECT doc_id,
+         |         list_distinct(list_transform(sh, t -> ${sqlHash("t")})) AS hd,
+         |         $sqlMinhashCols FROM s)
          |SELECT * FROM (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    round(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
-         |          CAST(len(list_distinct(a.shd || b.shd)) AS DOUBLE), 4) AS j
+         |    round(CAST(len(list_intersect(a.hd, b.hd)) AS DOUBLE) /
+         |          CAST(len(list_distinct(a.hd || b.hd)) AS DOUBLE), 4) AS j
          |  FROM sd a, sd b WHERE a.doc_id < b.doc_id
          |    AND (${MinhashFns.indices.map(j => s"a.mh$j = b.mh$j").mkString(" OR ")}))
          |WHERE j >= 0.2 ORDER BY a_id, b_id""".stripMargin,

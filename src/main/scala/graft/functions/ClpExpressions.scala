@@ -137,6 +137,25 @@ object ClpRuntime {
       new GenericArrayData(ClpEncoding.mergeVars(lt, enc, ids))))
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s) as a non-negative BIGINT — bit-identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` (and to DuckDB's
+    * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`) without materializing
+    * the 32-char hex string and re-parsing 15 of its chars. */
+  def md5Prefix64(s: UTF8String): Long = {
+    val md = md5Digest.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    // hex chars 1..15 = bytes 0..6 in full plus the HIGH nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
   /** All n MinHash signatures in ONE pass over the shingle set — the
     * production-width family (n=128+) would be n interpreted HOF aggregates
     * as Column expressions; here it is one codegen'd walk,
@@ -694,6 +713,20 @@ case class VecNormalizeExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Registration + Column-API façade for the CLP expressions. */
+/** `md5_prefix64(str)` — see [[ClpRuntime.md5Prefix64]]. The curation
+  * gates evaluate this cross-engine hash inside interpreted higher-order
+  * lambdas (shingle hashing, MinHash folds), where the equivalent
+  * md5→substring→conv Column chain costs ~10× the digest itself in object
+  * churn; outside lambdas it codegens to one static call. */
+case class Md5Prefix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = ClpRuntime.md5Prefix64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ClpRuntime.md5Prefix64($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Prefix64Expr = copy(c)
+  override def prettyName: String = "md5_prefix64"
+}
+
 object ClpFunctions {
 
   /** (name, builder) table — the single source of truth behind BOTH
@@ -709,6 +742,7 @@ object ClpFunctions {
     "clp_merge_vars" -> (es => ClpMergeVarsExpr(es(0), es(1), es(2))),
     "clp_split_vars" -> (es => ClpSplitVarsExpr(es(0), es(1))),
     "simhash64" -> (es => Simhash64Expr(es(0), es(1))),
+    "md5_prefix64" -> (es => Md5Prefix64Expr(es.head)),
     "ts_pattern_parse" -> (es => TsPatternParseExpr(es.head)),
     "ts_pattern_format" -> (es => TsPatternFormatExpr(es(0), es(1))),
     "vec_dot" -> (es => VecDotExpr(es(0), es(1))),
@@ -738,6 +772,11 @@ object ClpFunctions {
     call_function("clp_split_vars", logtype, vars)
   def simhash64(words: Column, bits: Column): Column =
     call_function("simhash64", words, bits)
+  /** Built directly (not via the registry): the gate queries use it without
+    * requiring ClpFunctions.register on the session. */
+  def md5_prefix64(s: Column): Column =
+    org.apache.spark.sql.GraftExpr.column(
+      Md5Prefix64Expr(org.apache.spark.sql.GraftExpr.expression(s)))
 
   /** Plan-time-bound MinHash family (production widths, one codegen'd pass);
     * the family is captured by the Expression directly — routing through the

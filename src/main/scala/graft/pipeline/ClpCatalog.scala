@@ -54,7 +54,8 @@ object ClpCatalog {
     // empty-input contract (search over it answers zero rows, not an error)
     val emptyCatalog = spark.range(0).select(
       lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
-      lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"))
+      lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"),
+      lit(null).cast("array<bigint>").as("dict_bloom"))
     LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog)
     slices.foreach(sl => appendEntry(spark, outDir, s"arch_$sl"))
   }
@@ -69,11 +70,28 @@ object ClpCatalog {
     * compression job's archive in the metadata DB as it completes);
     * [[ingest]]'s per-slice loop is the test-harness shape. */
   def appendEntry(spark: SparkSession, outDir: String, archiveId: String): Long = {
-    val entry = spark.read.parquet(s"$outDir/archives/$archiveId/sink_stats")
+    val base = spark.read.parquet(s"$outDir/archives/$archiveId/sink_stats")
       .agg(min(col("min_ts")).as("begin_ts"), max(col("max_ts")).as("end_ts"),
         sum(col("n_rows")).cast("long").as("n_messages"))
       .withColumn("archive_id", lit(archiveId))
       .select("archive_id", "begin_ts", "end_ts", "n_messages")
+    // dictionary-token Bloom summary (see [[DictBloom]]): registered only
+    // when the committed catalog carries the column — a catalog created
+    // before the summary existed keeps appending its own schema (the lake
+    // shim refuses silent drift), it just never fleet-prunes by token
+    val wantsBloom = LakeTable.read(spark, s"$outDir/catalog")
+      .columns.contains("dict_bloom")
+    val entry =
+      if (!wantsBloom) base
+      else {
+        val bloom =
+          try Some(DictBloom.build(
+            spark.read.parquet(s"$outDir/archives/$archiveId/var_dict"), "value"))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        base.withColumn("dict_bloom",
+          bloom.map(b => typedLit(b.toSeq)).getOrElse(lit(null))
+            .cast("array<bigint>"))
+      }
     LakeTable.append(spark, s"$outDir/catalog", entry)
   }
 
@@ -99,6 +117,34 @@ object ClpCatalog {
           if b == null || e == null ||
             (tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi))) => id
     }.toSeq
+
+  /** Catalog-level token pruning on top of the ts prune: archives whose
+    * [begin, end] intersects the window AND whose dictionary Bloom summary
+    * admits the query (see [[DictBloom.admits]]). An archive with no
+    * summary (null column, pre-summary catalog, empty archive with no
+    * var_dict) is never token-pruned — only a definitive Bloom miss on a
+    * required exact dictionary token prunes. Decided from catalog metadata
+    * alone; no archive directory opens for a pruned archive. */
+  def admissibleArchivesFor(spark: SparkSession, outDir: String, query: String,
+                            caseSensitive: Boolean,
+                            tsLo: Option[java.sql.Timestamp],
+                            tsHi: Option[java.sql.Timestamp],
+                            asOf: Option[Long] = None): Seq[String] = {
+    val cat = LakeTable.read(spark, s"$outDir/catalog", asOf)
+    if (!cat.columns.contains("dict_bloom"))
+      return admissibleArchives(spark, outDir, tsLo, tsHi, asOf)
+    cat.select("archive_id", "begin_ts", "end_ts", "dict_bloom").collect()
+      .toSeq.collect {
+        case r if {
+          val (b, e) = (r.getTimestamp(1), r.getTimestamp(2))
+          val tsOk = b == null || e == null ||
+            (tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi)))
+          val bloomOk = r.isNullAt(3) ||
+            DictBloom.admits(r.getSeq[Long](3).toArray, query, caseSensitive)
+          tsOk && bloomOk
+        } => r.getString(0)
+      }
+  }
 
   /** Fleet retention sweep — the reference's archive garbage collector
     * (`job_orchestration/garbage_collector/archive_garbage_collector.py:37-96`
@@ -193,15 +239,17 @@ object ClpCatalog {
     retired
   }
 
-  /** Cross-archive search: catalog-pruned per-archive plans, one union —
-    * each branch runs the full encoded-domain lifecycle (dict probe → sink
-    * prune → encoded match → decode → verify) inside its own archive. */
+  /** Cross-archive search: catalog-pruned per-archive plans (timestamp
+    * window ∩ dictionary-Bloom token summary), one union — each branch runs
+    * the full encoded-domain lifecycle (dict probe → sink prune → encoded
+    * match → decode → verify) inside its own archive. */
   def search(spark: SparkSession, outDir: String, query: String,
              caseSensitive: Boolean = true,
              tsLo: Option[java.sql.Timestamp] = None,
              tsHi: Option[java.sql.Timestamp] = None,
              asOf: Option[Long] = None): DataFrame = {
-    val admissible = admissibleArchives(spark, outDir, tsLo, tsHi, asOf)
+    val admissible =
+      admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf)
     if (admissible.isEmpty) graft.search.ClpSearch.emptyResults(spark)
     else admissible.map { id =>
       new graft.search.ClpSearch(spark, s"$outDir/archives/$id")

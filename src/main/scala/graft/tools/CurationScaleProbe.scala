@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * Corpus construction preserves the duplicate STRUCTURE of the original
   * while replicating it M×, so the slope measures scale, not a structural
   * change in pair counts:
-  *   - text copy k > 0 inserts a copy-specific token at every word gap —
-  *     within a copy the original near-dup clusters survive exactly (every
-  *     doc gets the same insertion), across copies no shingle is shared, so
-  *     near-dup clusters replicate M× instead of merging into M-sized
-  *     super-clusters;
+  *   - text copy k > 0 prefixes EVERY WORD with a copy tag — a BIJECTION
+  *     of the word (and so shingle / gram / chunk) space: within a copy
+  *     every frequency distribution is exactly the original's, across
+  *     copies no token is shared, so dup/near-dup clusters replicate M×
+  *     instead of merging. (An earlier variant inserted a copy token at
+  *     every word GAP; that manufactured super-common shingles like
+  *     "k3x the k3x" — one hashes low and becomes the MinHash min for
+  *     thousands of a copy's docs, a 2556-doc bucket / 14M candidate
+  *     pairs at 10× that the real corpus does not have.)
   *   - embedding copy k rotates the vector by k dims — a within-copy
   *     isometry (all pairwise dot products preserved), while rotations of
   *     independent vectors decorrelate across copies.
@@ -78,8 +82,8 @@ object CurationScaleProbe {
     val scaledDocs = docs.select(col("*"), copyIdx)
       .withColumn("doc_id", col("doc_id") + col("copy") * lit(10000000L))
       .withColumn("text", when(col("copy") === 0, col("text"))
-        .otherwise(regexp_replace(col("text"), lit(" "),
-          concat(lit(" k"), col("copy").cast("string"), lit("x ")))))
+        .otherwise(regexp_replace(col("text"), lit("(^| )"),
+          concat(lit("$1k"), col("copy").cast("string"), lit("x")))))
       .drop("copy")
     val dim = embs.selectExpr("size(embedding) AS d").head().getInt(0)
     val scaledEmbs = embs.select(col("*"), copyIdx)

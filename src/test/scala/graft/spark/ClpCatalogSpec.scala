@@ -150,6 +150,79 @@ class ClpCatalogSpec extends SparkSpecBase {
     assert(graft.pipeline.LakeTable.snapshots(spark, s"$out/catalog").length == 1)
   }
 
+  // corpus with a slice-specific dictionary token ("tag0".."tag3") so the
+  // archives differ in dictionary CONTENT, which the shared-vocabulary
+  // `turns` corpus cannot express (same 3 code tokens everywhere)
+  private lazy val bloomDir = {
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-bloom").toString
+    val tagged = turns.withColumn("text",
+      concat(col("text"), lit(" tag"), floor(col("turn_idx") / 5).cast("string"),
+        lit(" end")))
+    ClpCatalog.ingest(spark, tagged, floor(col("turn_idx") / 5), out)
+    out
+  }
+
+  test("dict-bloom fleet pruning: a token query opens only matching archives") {
+    val all = Seq("arch_0", "arch_1", "arch_2", "arch_3")
+    // ts-only admissibility sees all 4; the bloom cuts to the one archive
+    // whose dictionary can contain the exact token
+    assert(ClpCatalog.admissibleArchives(spark, bloomDir, None, None).sorted == all)
+    assert(ClpCatalog.admissibleArchivesFor(spark, bloomDir, "* tag2 *",
+      caseSensitive = true, None, None) == Seq("arch_2"))
+    // the pruned search still answers exactly (100 turns carry tag2)
+    assert(ClpCatalog.search(spark, bloomDir, "* tag2 *").count() == 100)
+    // a token in no archive prunes the whole fleet — zero archives open
+    assert(ClpCatalog.admissibleArchivesFor(spark, bloomDir, "* tag9 *",
+      caseSensitive = true, None, None).isEmpty)
+    assert(ClpCatalog.search(spark, bloomDir, "* tag9 *").count() == 0)
+    // shared tokens admit everything (c1 is in every archive's dictionary)
+    assert(ClpCatalog.admissibleArchivesFor(spark, bloomDir, "* code=c1 *",
+      caseSensitive = true, None, None).sorted == all)
+    // numeric tokens are encoded vars, never dictionary probes — no pruning
+    assert(ClpCatalog.admissibleArchivesFor(spark, bloomDir, "* 250 *",
+      caseSensitive = true, None, None).sorted == all)
+    // a Bloom cannot answer case-insensitive lookups — sound fallback: admit
+    assert(ClpCatalog.admissibleArchivesFor(spark, bloomDir, "* TAG2 *",
+      caseSensitive = false, None, None).sorted == all)
+    // bloom ∩ ts composes: tag2 in [0 s, 150 s] intersects nothing
+    assert(ClpCatalog.admissibleArchivesFor(spark, bloomDir, "* tag2 *",
+      caseSensitive = true, Some(ts(0)), Some(ts(150))).isEmpty)
+  }
+
+  test("dict-bloom soundness: no false negative on any real dictionary token") {
+    val cat = graft.pipeline.LakeTable.read(spark, s"$bloomDir/catalog")
+      .select("archive_id", "dict_bloom").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    cat.keys.foreach { id =>
+      val toks = spark.read.parquet(s"$bloomDir/archives/$id/var_dict")
+        .select("value").collect().map(_.getString(0))
+      assert(toks.nonEmpty)
+      toks.foreach { t =>
+        assert(graft.pipeline.DictBloom.mightContain(cat(id), t),
+          s"bloom false negative for '$t' in $id")
+      }
+    }
+  }
+
+  test("pre-bloom catalogs (no dict_bloom column) keep appending and searching") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-oldschema").toString
+    graft.pipeline.ClpPipeline.run(spark, turns.limit(40),
+      graft.pipeline.ClpPipeline.Config(s"$out/archives/arch_old",
+        maxSinks = 4, saltParts = 4))
+    // a catalog created before the summary existed: 4-column schema
+    val oldEmpty = spark.range(0).selectExpr("'' AS archive_id",
+      "CAST(NULL AS timestamp) AS begin_ts", "CAST(NULL AS timestamp) AS end_ts",
+      "CAST(0 AS long) AS n_messages")
+    graft.pipeline.LakeTable.overwrite(spark, s"$out/catalog", oldEmpty)
+    ClpCatalog.appendEntry(spark, out, "arch_old") // must not drift the schema
+    assert(!graft.pipeline.LakeTable.read(spark, s"$out/catalog")
+      .columns.contains("dict_bloom"))
+    // token pruning degrades to ts-only admissibility; search still answers
+    assert(ClpCatalog.admissibleArchivesFor(spark, out, "* code=c1*",
+      caseSensitive = true, None, None) == Seq("arch_old"))
+    assert(ClpCatalog.search(spark, out, "* code=c1*").count() > 0)
+  }
+
   test("cross-archive union search equals one archive over the whole corpus") {
     val single = java.nio.file.Files.createTempDirectory("graft-cat-one").toString
     graft.pipeline.ClpPipeline.run(spark, turns,

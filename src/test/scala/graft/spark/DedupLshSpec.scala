@@ -59,6 +59,41 @@ class DedupLshSpec extends SparkSpecBase {
       f"recall did not rise with width: demo $recallDemo%.3f prod $recallProd%.3f")
   }
 
+  test("hot-bucket star cap: linear candidates, components preserved") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    // a boilerplate cohort: 30 identical docs (every band is one hot
+    // bucket) plus distinct background docs
+    val cohort = (0L until 30L).map(i => (i, "the same boilerplate line repeated verbatim"))
+    val noise = (100L until 120L).map(i =>
+      (i, s"distinct background document number $i with its own words ${i * 7} ${i * 13}"))
+    val docs = (cohort ++ noise).toDF("doc_id", "text")
+    def run(cap: Int) =
+      graft.Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 2, jMin = 0.5, hotBucketCap = cap)
+        .select(col("a_id"), col("b_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = run(Int.MaxValue)
+    val starred = run(5)
+    // all-pairs: C(30,2) = 435 cohort pairs; star: 29 (min-doc spokes)
+    assert(allPairs.count(p => p._1 < 30 && p._2 < 30) == 435)
+    assert(starred.count(p => p._1 < 30 && p._2 < 30) == 29)
+    assert(starred.subsetOf(allPairs))
+    // the dedup decision is unchanged: connected components over the
+    // verified pairs merge the whole cohort either way
+    def components(pairs: Set[(Long, Long)]) = {
+      val df = pairs.toSeq.toDF("a_id", "b_id")
+      graft.Dedup.connectedComponents(df, "a_id", "b_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val cAll = components(allPairs)
+    val cStar = components(starred)
+    // every cohort doc is labeled, and with ONE component, under both modes
+    assert((0L until 30L).forall(cStar.contains), "cap dropped cohort members")
+    assert(cStar.filter(_._1 < 30).values.toSet.size == 1,
+      s"cohort split under the cap: ${cStar.filter(_._1 < 30)}")
+    assert(cAll.filter(_._1 < 30).values.toSet.size == 1)
+  }
+
   test("production widths: OR-amplified embedding LSH (16 tables x 4 planes) recall >= 0.9") {
     val sf = "/root/testdata/sf0.01"
     import org.apache.spark.sql.functions.col
