@@ -556,6 +556,36 @@ object GraftQueries {
       graft.pipeline.ClpCatalog.search(s, bloomCatalog(s, d), "* job2 *")
         .select("conv_id", "turn_idx")
         .orderBy("conv_id", "turn_idx")),
+    "clp_encoded_agg" -> ((s, d) => {
+      // analytics pushed into the ENCODED domain — the query the GLT paper
+      // motivates per-variable column groups with (glt/ArchiveReader
+      // column-group scan), re-expressed on the routed columnar archive:
+      // per-role count/avg/min/max of the 'status' variable, read straight
+      // out of the merged var stream by PLACEHOLDER POSITION. No message
+      // text is ever decoded: the logtype dictionary (archive-metadata-
+      // sized) broadcast-joins onto the scan, the status slot index is a
+      // per-logtype string computation (placeholders before "status <int>"),
+      // and element_at picks the int64 var — int vars encode as their value
+      // (ClpEncoding.tryEncodeInt), so the aggregate runs on raw encoded
+      // longs. Scan reads (role, logtype_id, vars) only; one partial/final
+      // aggregate; plan-asserted decode-free in PlanQualitySpec.
+      val arch = searchArchive(s, d)
+      val lt = s.read.parquet(s"$arch/logtype_dict").select("logtype_id", "logtype")
+      val ph = "" + graft.core.ClpEncoding.IntPlaceholder +
+        graft.core.ClpEncoding.DictPlaceholder + graft.core.ClpEncoding.FloatPlaceholder
+      val pfx = substring_index(col("logtype"),
+        "status " + graft.core.ClpEncoding.IntPlaceholder, 1)
+      val idx = length(pfx) - length(translate(pfx, ph, "")) + 1
+      s.read.parquet(s"$arch/routed")
+        .join(broadcast(lt), "logtype_id")
+        .withColumn("status", element_at(col("vars"), idx.cast("int")))
+        .groupBy(col("role"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("status")), 4).as("avg_status"),
+          min(col("status")).as("min_status"),
+          max(col("status")).as("max_status"))
+        .orderBy("role")
+    }),
     "clp_search_limit" -> ((s, d) =>
       // O1 limit under the gate: LIMIT pushed into the search plan
       // (CollectLimit, no full materialization); the truncated cardinality
@@ -918,6 +948,36 @@ object GraftQueries {
           round(col("_sumlog") / col("n_tokens")
             - log(col("total").cast("double")), 4).as("logprob"))
         .orderBy("doc_id")
+    }),
+    "logs_spike_detect" -> ((s, d) => {
+      // count-by-time anomaly flagging (the alerting query every log
+      // pipeline runs over its ingest counters): hourly per-type counts,
+      // a bucket is a spike iff cnt > mean + 3σ over its type's buckets.
+      // The 3σ rule is evaluated ENTIRELY in integer arithmetic —
+      //   cnt > S/n + 3·sqrt(n·SS − S²)/n
+      //   ⇔ (n·cnt − S) > 0 ∧ (n·cnt − S)² > 9·(n·SS − S²)
+      // — so both engines compare exact int64s (an FP sqrt at the boundary
+      // would flip rows engine-to-engine). Shape: one partial-aggregating
+      // count pass, per-type moments (count/sum/sum-of-squares — mergeable,
+      // bucket-count-sized) broadcast back; no window over the corpus.
+      // int64 bounds: 9·n·SS must fit — holds through ~10^5 buckets/type
+      // at ~10^6/bucket; past that, scale the counts or go approximate.
+      val buckets = t(s, d, "events")
+        .groupBy(col("event_type"),
+          (floor(unix_millis(col("ts").cast("timestamp")) / 3600000L) * 3600000L)
+            .cast("long").as("bucket_ms"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = buckets.groupBy("event_type")
+        .agg(count(lit(1)).as("nb"), sum("cnt").as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+      buckets.join(broadcast(stats), "event_type")
+        .withColumn("dev", col("nb") * col("cnt") - col("s1"))
+        .withColumn("flag_spike",
+          (col("dev") > 0 &&
+            col("dev") * col("dev") > lit(9L) * (col("nb") * col("s2") - col("s1") * col("s1")))
+            .cast("long"))
+        .select("event_type", "bucket_ms", "cnt", "flag_spike")
+        .orderBy("event_type", "bucket_ms")
     }),
     "ccnet_ppl_buckets" -> ((s, d) => {
       // CCNet's head/middle/tail quality bucketing (arXiv:1911.00359 §3.3):
@@ -1978,6 +2038,12 @@ object GraftQueries {
         s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 130 AND 260"),
     "clp_catalog_bloom_prune" ->
       sqlSearchSelect(s"($sqlBloomText) LIKE '% job2 %'"),
+    "clp_encoded_agg" ->
+      """SELECT lang AS role, count(*) AS n,
+        |  round(avg((doc_id % 7) * 100 + 3), 4) AS avg_status,
+        |  CAST(min((doc_id % 7) * 100 + 3) AS BIGINT) AS min_status,
+        |  CAST(max((doc_id % 7) * 100 + 3) AS BIGINT) AS max_status
+        |FROM documents GROUP BY 1 ORDER BY role""".stripMargin,
     "clp_search_limit" ->
       s"""SELECT CAST(least(40, (SELECT count(*) FROM documents
          |  WHERE ($sqlSearchText) LIKE '% code=es %')) AS BIGINT) AS n""".stripMargin,
@@ -2259,6 +2325,19 @@ object GraftQueries {
         |  round(sum(ln(cnt)) / count(*) - ln((SELECT total FROM tot)), 4) AS logprob
         |FROM t2 JOIN vocab USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "logs_spike_detect" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(epoch_ms(ts)/3600000)*3600000 AS BIGINT) AS bucket_ms,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS nb, CAST(sum(cnt) AS BIGINT) AS s1,
+        |         CAST(sum(cnt*cnt) AS BIGINT) AS s2 FROM b GROUP BY 1)
+        |SELECT b.event_type, b.bucket_ms, b.cnt,
+        |  CAST(CASE WHEN (nb*cnt - s1) > 0
+        |            AND (nb*cnt - s1)*(nb*cnt - s1) > 9*(nb*s2 - s1*s1)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flag_spike
+        |FROM b JOIN st USING (event_type)
+        |ORDER BY event_type, bucket_ms""".stripMargin,
     "ccnet_ppl_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -222,6 +222,28 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Window"))
   }
 
+  test("logs_spike_detect: two agg passes + broadcast moments, no window") {
+    val p = executedPlan(graft.GraftQueries.queries("logs_spike_detect")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("clp_encoded_agg: decode-free encoded-domain aggregate over a broadcast dict join") {
+    val p = executedPlan(graft.GraftQueries.queries("clp_encoded_agg")(spark, sf))
+    // the whole aggregate runs on raw encoded vars: no decode expression,
+    // no UDF; the logtype dictionary rides a broadcast, the corpus never
+    // shuffles into a sort-merge join; partial/final agg
+    assert(!p.contains("clp_decode") && !p.contains("UDF("), p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    // column pruning: the routed scan must not read the heavy text-side
+    // columns (conv_id/tool) — only role, logtype_id, vars survive
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(!readSchemas.contains("conv_id"), readSchemas)
+  }
+
   test("shredded archive: KQL reads only the queried variant subcolumns, never _raw") {
     val df = graft.GraftQueries.queries("jsonl_kql_shredded")(spark, sf)
     val p = executedPlan(df)
