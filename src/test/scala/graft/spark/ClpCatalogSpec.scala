@@ -204,6 +204,41 @@ class ClpCatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom-prune fuzzer: pruned fleet search ≡ exhaustive search, 24 query shapes") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("tag0", "tag1", "tag2", "tag3", "c0", "c1", "c2",
+      "num", "event", "end", "42", "250")
+    val queries = Seq(
+      "* tag0 *", "* tag3 *", "* tag5 *", "* c2 *", "* num * tag1 *",
+      "*tag2*", "* c1 * tag2 *", "* 42 *", "* zz9qq *", "* tag2 end*",
+      "* code=c0 * tag3 *", "tag1*") ++
+      (1 to 12).map { _ =>
+        val w1 = words(rnd.nextInt(words.size))
+        if (rnd.nextBoolean()) s"* $w1 *"
+        else s"* $w1 * ${words(rnd.nextInt(words.size))} *"
+      }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    queries.foreach { q =>
+      // exhaustive baseline: every registered archive, no token pruning
+      val expected = ClpCatalog.admissibleArchives(spark, bloomDir, None, None)
+        .map(id => new ClpSearch(spark, s"$bloomDir/archives/$id").search(q))
+        .reduce(_ unionAll _)
+      assert(run(ClpCatalog.search(spark, bloomDir, q)) == run(expected),
+        s"bloom-pruned fleet search diverged on '$q'")
+    }
+    // case-insensitive: pruning must disable itself, results still equal
+    Seq("* TAG2 *", "* C1 *").foreach { q =>
+      val expected = ClpCatalog.admissibleArchives(spark, bloomDir, None, None)
+        .map(id => new ClpSearch(spark, s"$bloomDir/archives/$id")
+          .search(q, caseSensitive = false))
+        .reduce(_ unionAll _)
+      assert(run(ClpCatalog.search(spark, bloomDir, q, caseSensitive = false))
+        == run(expected), s"case-insensitive fleet search diverged on '$q'")
+    }
+  }
+
   test("pre-bloom catalogs (no dict_bloom column) keep appending and searching") {
     val out = java.nio.file.Files.createTempDirectory("graft-cat-oldschema").toString
     graft.pipeline.ClpPipeline.run(spark, turns.limit(40),
