@@ -116,6 +116,32 @@ object McpServer {
     }
   }
 
+  /** KQL over an entire archive FLEET (a [[graft.pipeline.ClpCatalog]]
+    * directory) — the reference MCP server fronts the whole deployment
+    * through its metadata DB, not one archive. Archives admissible at the
+    * committed catalog snapshot union their decoded+KQL-filtered rows;
+    * per-archive sort-limits feed the global newest-first page, so no
+    * archive ever collects more than the page budget. Retired archives
+    * (retention sweep) drop out at the next catalog read automatically. */
+  final class FleetBackend(spark: SparkSession, fleetDir: String)
+      extends QueryBackend {
+    def searchByKql(kql: String, maxResults: Int): (Seq[LogEvent], Boolean) = {
+      val ids = graft.pipeline.ClpCatalog
+        .admissibleArchives(spark, fleetDir, None, None)
+      if (ids.isEmpty) return (Nil, false)
+      val hits = ids.map { id =>
+        val engine = new graft.search.ClpSearch(spark, s"$fleetDir/archives/$id")
+        graft.search.KqlCompiler.filter(
+          engine.withDecodedText(engine.routed), kql)
+          .select(col("ts"), col("text"))
+          // per-archive pre-limit: the global top-k can never need more
+          // than k rows from any one archive
+          .orderBy(desc("ts")).limit(maxResults + 1)
+      }.reduce(_ unionAll _)
+      collectNewestFirst(hits, "ts", "text", maxResults)
+    }
+  }
+
   // ---------------------------------------------------------------- protocol
 
   val ServerName = "graft-mcp-server"
@@ -296,7 +322,7 @@ final class McpServer(backend: McpServer.QueryBackend,
   * (`--clp`). Diagnostics go to stderr; stdout carries only protocol. */
 object McpServerMain {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: McpServerMain <archiveDir> [--clp]")
+    require(args.nonEmpty, "usage: McpServerMain <archiveDir> [--clp | --fleet]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName("graft-mcp-server")
@@ -307,7 +333,8 @@ object McpServerMain {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.ClpFunctions.register(spark)
     val backend =
-      if (args.contains("--clp")) new McpServer.ClpArchiveBackend(spark, args(0))
+      if (args.contains("--fleet")) new McpServer.FleetBackend(spark, args(0))
+      else if (args.contains("--clp")) new McpServer.ClpArchiveBackend(spark, args(0))
       else new McpServer.JsonArchiveBackend(spark, args(0))
     System.err.println(s"${McpServer.ServerName} serving ${args(0)} on stdio")
     new McpServer(backend).serve(System.in, System.out)

@@ -190,6 +190,37 @@ class McpServerSpec extends SparkSpecBase {
     assert(events.head.tsMs.contains(1704067200000L + 7000L))
   }
 
+  test("FleetBackend searches every cataloged archive, newest-first, paged") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-mcp-fleet").toString
+    val turns = spark.range(40).select(
+      concat(lit("conv-"), (col("id") % 4).cast("string")).as("conv_id"),
+      (col("id") / 4).cast("int").as("turn_idx"),
+      lit("user").as("role"),
+      concat(lit("request took "), col("id").cast("string"), lit(" ms")).as("text"),
+      lit("tool").as("tool"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 1000L).as("ts"))
+    // 2 archives of 20 turns each (turn_idx 0-4 → slice 0, 5-9 → slice 1)
+    graft.pipeline.ClpCatalog.ingest(spark, turns, floor(col("turn_idx") / 5), dir)
+    val backend = new McpServer.FleetBackend(spark, dir)
+    // a match in EACH archive: ids 7 and 27 both end "took * ms"
+    val (events, overflow) = backend.searchByKql("""text: "*took *7 ms*"""", 100)
+    assert(!overflow)
+    assert(events.map(_.message) ==
+      Seq("request took 37 ms", "request took 27 ms", "request took 17 ms",
+        "request took 7 ms"), events.map(_.message))
+    // newest-first across archives, and the page budget truncates globally
+    val (page, over) = backend.searchByKql("""text: "*took *7 ms*"""", 2)
+    assert(over && page.map(_.message) ==
+      Seq("request took 37 ms", "request took 27 ms"))
+    // a retention sweep narrows the fleet the next read, no restart needed
+    graft.pipeline.ClpCatalog.retire(spark, dir,
+      new java.sql.Timestamp(1704067200000L + 20000L))
+    val (after, _) = backend.searchByKql("""text: "*took *7 ms*"""", 100)
+    assert(after.map(_.message) ==
+      Seq("request took 37 ms", "request took 27 ms"))
+  }
+
   // ----------------------------------------------------------- unit layers
 
   test("session TTL: an idle session expires and loses its cache") {
