@@ -28,9 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Soundness: a Bloom "absent" is definitive (prune is safe); a Bloom
   * "present" may be a false positive (the archive is opened and its real
   * dictionary probe decides, exactly as without the summary). With m/n ≈ 16
-  * bits/entry at the 500-token gate dictionaries the FP rate is < 1%; at
-  * production dictionary sizes the build caps insertions and degrades to
-  * all-ones (prunes nothing) rather than lying.
+  * bits/entry at the 500-token gate dictionaries the FP rate is < 1%; a
+  * dictionary far past the design capacity saturates the filter toward
+  * all-ones, which degrades to "prunes nothing" — never to a false
+  * negative, so no insertion cap is needed for correctness (size m up for
+  * fleets whose per-archive dictionaries run large).
   */
 object DictBloom {
 
