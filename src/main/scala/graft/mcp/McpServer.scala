@@ -135,8 +135,13 @@ object McpServer {
           engine.withDecodedText(engine.routed), kql)
           .select(col("ts"), col("text"))
           // per-archive pre-limit: the global top-k can never need more
-          // than k rows from any one archive
-          .orderBy(desc("ts")).limit(maxResults + 1)
+          // than k rows from any one archive. The ORDER must match
+          // collectNewestFirst's global cut (ts desc nulls last, msg asc)
+          // INCLUDING the tie-break — with >k rows tied at the boundary
+          // timestamp inside one archive, a ts-only pre-limit would keep an
+          // arbitrary subset and make the final page nondeterministic.
+          .orderBy(col("ts").desc_nulls_last, col("text").asc)
+          .limit(maxResults + 1)
       }.reduce(_ unionAll _)
       collectNewestFirst(hits, "ts", "text", maxResults)
     }
@@ -224,11 +229,19 @@ final class McpServer(backend: McpServer.QueryBackend,
           "error" -> JObject("code" -> JInt(-32700),
             "message" -> JString("Parse error")))))
       case Right(req) =>
-        val id = req \ "id"
         val method = strOpt(req \ "method").getOrElse("")
-        if (id == JNothing && method.startsWith("notifications/")) None
-        else if (method.startsWith("notifications/")) None
-        else Some(render(response(id, method, req \ "params")))
+        if (method.startsWith("notifications/")) None
+        else {
+          // a non-notification request missing "id" still gets a response
+          // object WITH an id member: json4s drops JNothing fields at render
+          // time, and a JSON-RPC response without "id" violates the spec —
+          // map the absent id to an explicit null
+          val id = req \ "id" match {
+            case JNothing => JNull
+            case v => v
+          }
+          Some(render(response(id, method, req \ "params")))
+        }
     }
   }
 
@@ -298,7 +311,14 @@ final class McpServer(backend: McpServer.QueryBackend,
               // TimeoutError) catch around the connector
               case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString))
             }
-          Right(outcome.fold(errJson(_),
+          Right(outcome.fold(
+            msg => {
+              // a failed/overflowed search invalidates the PREVIOUS query's
+              // cached pages — get_nth_page after this answers
+              // NoCachedResultError instead of silently serving stale pages
+              sessions.clearCachedResult(sessionId)
+              errJson(msg)
+            },
             es => sessions.cacheQueryResultAndGetFirstPage(sessionId, es)
               .fold(errJson(_), pageJson(_))))
       }

@@ -92,14 +92,6 @@ final class SessionState(itemsPerPage: Int, ttlMs: Long, clock: () => Long) {
     Instructions
   }
 
-  def cacheQueryResultAndGetFirstPage(results: IndexedSeq[String])
-      : Either[String, PageData] =
-    if (!instructionsRetrieved) Left(GetInstructionsNotRunError)
-    else {
-      cached = Some(new PaginatedQueryResult(results, itemsPerPage))
-      getPageData(0)
-    }
-
   def getPageData(pageIndex: Int): Either[String, PageData] =
     if (!instructionsRetrieved) Left(GetInstructionsNotRunError)
     else cached match {
@@ -118,6 +110,11 @@ final class SessionState(itemsPerPage: Int, ttlMs: Long, clock: () => Long) {
         Right(PageData(Nil, 0, 0, itemsPerPage, hasNext = false, hasPrevious = false))
       else getPageData(0)
     }
+
+  /** Drop the cached paginated result (a failed or overflowed search must
+    * not leave the PREVIOUS query's pages answerable — `get_nth_page` after
+    * such a search answers NoCachedResultError, not stale pages). */
+  def clearCachedResult(): Unit = cached = None
 
   def isExpired: Boolean = clock() - lastAccessed > ttlMs
   def updateAccessTime(): Unit = lastAccessed = clock()
@@ -158,4 +155,8 @@ final class SessionManager(ttlMs: Long = SessionManager.SessionTtlMs,
 
   def getNthPage(sessionId: String, pageIndex: Int): Either[String, PageData] =
     getOrCreateSession(sessionId).getPageData(pageIndex)
+
+  /** See [[SessionState.clearCachedResult]]. */
+  def clearCachedResult(sessionId: String): Unit =
+    getOrCreateSession(sessionId).clearCachedResult()
 }

@@ -163,6 +163,44 @@ class McpServerSpec extends SparkSpecBase {
     assert(msg.contains("narrow the query"))
   }
 
+  test("a failed or overflowed search invalidates the previous query's pages") {
+    // backend that overflows on "*" and answers normally otherwise
+    val flaky = new McpServer.QueryBackend {
+      def searchByKql(kql: String, maxResults: Int)
+          : (Seq[McpServer.LogEvent], Boolean) =
+        if (kql == "*") (Nil, true)
+        else if (kql == "boom") throw new RuntimeException("backend down")
+        else ((0 until 3).map(i =>
+          McpServer.LogEvent(Some(i.toLong), s"m$i")), false)
+    }
+    val server = new McpServer(flaky)
+    callTool(server, "get_instructions")
+    assert((callTool(server, "search_by_kql",
+      """{"kql_query":"ok"}""") \ "num_total_items") == JInt(3))
+    // overflow: the OLD query's pages must no longer be served
+    assert((callTool(server, "search_by_kql",
+      """{"kql_query":"*"}""") \ "Error").isInstanceOf[JString])
+    assert((callTool(server, "get_nth_page", """{"page_index":0}""") \ "Error")
+      == JString(SessionManager.NoCachedResultError))
+    // refill, then a backend exception clears again
+    assert((callTool(server, "search_by_kql",
+      """{"kql_query":"ok"}""") \ "num_total_items") == JInt(3))
+    assert((callTool(server, "search_by_kql",
+      """{"kql_query":"boom"}""") \ "Error") == JString("backend down"))
+    assert((callTool(server, "get_nth_page", """{"page_index":0}""") \ "Error")
+      == JString(SessionManager.NoCachedResultError))
+  }
+
+  test("a non-notification request missing id answers with an explicit null id") {
+    val server = newServer()
+    val resp = server.handle("""{"jsonrpc":"2.0","method":"ping","params":{}}""")
+    assert(resp.isDefined)
+    // the raw wire line must carry an id MEMBER (JSON-RPC requires one on
+    // every response object; json4s silently drops JNothing fields)
+    assert(resp.get.contains(""""id":null"""), resp.get)
+    assert((JsonMethods.parse(resp.get) \ "id") == JNull)
+  }
+
   // ------------------------------------------------------ clp text backend
 
   test("ClpArchiveBackend searches a routed text archive by KQL") {
