@@ -556,6 +556,21 @@ object GraftQueries {
       graft.pipeline.ClpCatalog.search(s, bloomCatalog(s, d), "* job2 *")
         .select("conv_id", "turn_idx")
         .orderBy("conv_id", "turn_idx")),
+    "clp_catalog_search_batched" -> ((s, d) =>
+      // BOUNDED-plan full-fleet search (the reference scheduler's per-
+      // archive-batch dispatch): batchSize=1 forces one driver step per
+      // admissible archive — each step a 1-branch plan, executed and
+      // released, matches appended to the result dir — and the accumulated
+      // result must equal the single-union search under the same oracle.
+      // At 10^4-archive scale this is the path a match-all query takes;
+      // ClpCatalogSpec asserts plan-fanout refusal + batch ≡ union at
+      // every batch size.
+      graft.pipeline.ClpCatalog.searchBatched(s, searchCatalog(s, d), "* code=es *",
+          tsLo = Some(new java.sql.Timestamp(1704067200000L + 130000L)),
+          tsHi = Some(new java.sql.Timestamp(1704067200000L + 260000L)),
+          batchSize = 1)
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")),
     "clp_encoded_agg" -> ((s, d) => {
       // analytics pushed into the ENCODED domain — the query the GLT paper
       // motivates per-variable column groups with (glt/ArchiveReader
@@ -2038,6 +2053,9 @@ object GraftQueries {
         s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 130 AND 260"),
     "clp_catalog_bloom_prune" ->
       sqlSearchSelect(s"($sqlBloomText) LIKE '% job2 %'"),
+    "clp_catalog_search_batched" ->
+      sqlSearchSelect(
+        s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 130 AND 260"),
     "clp_encoded_agg" ->
       """SELECT lang AS role, count(*) AS n,
         |  round(avg((doc_id % 7) * 100 + 3), 4) AS avg_status,

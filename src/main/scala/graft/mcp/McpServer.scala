@@ -118,32 +118,74 @@ object McpServer {
 
   /** KQL over an entire archive FLEET (a [[graft.pipeline.ClpCatalog]]
     * directory) — the reference MCP server fronts the whole deployment
-    * through its metadata DB, not one archive. Archives admissible at the
-    * committed catalog snapshot union their decoded+KQL-filtered rows;
-    * per-archive sort-limits feed the global newest-first page, so no
-    * archive ever collects more than the page budget. Retired archives
-    * (retention sweep) drop out at the next catalog read automatically. */
-  final class FleetBackend(spark: SparkSession, fleetDir: String)
+    * through its metadata DB, not one archive. Retired archives (retention
+    * sweep) drop out at the next catalog read automatically.
+    *
+    * Fan-out is BOUNDED and newest-first drives EARLY EXIT: archives are
+    * walked newest-`end_ts`-first in `batchSize` groups, each group one
+    * ≤`batchSize`-branch union whose per-archive sort-limits feed a
+    * driver-side top-(k+1) merge buffer (≤ k+1 rows, k = page budget). Once
+    * the buffer's cut row is strictly newer than the next archive's newest
+    * possible event, NO remaining archive can contribute — the walk stops
+    * without opening them. A match-all query over 10^4 archives therefore
+    * runs a handful of bounded batches instead of handing Catalyst a
+    * 10^4-branch union; the reference throttles the same way (the query
+    * scheduler dispatches bounded archive batches, newest first:
+    * `query_scheduler.py:508-566` with the `ORDER BY end_timestamp DESC`
+    * archive listing). */
+  final class FleetBackend(spark: SparkSession, fleetDir: String,
+                           batchSize: Int = 32)
       extends QueryBackend {
+
+    /** Batches actually executed by the last search — observable evidence
+      * for the early-exit (asserted in McpServerSpec). */
+    @volatile private[graft] var lastBatchesRun: Int = 0
+
     def searchByKql(kql: String, maxResults: Int): (Seq[LogEvent], Boolean) = {
-      val ids = graft.pipeline.ClpCatalog
-        .admissibleArchives(spark, fleetDir, None, None)
-      if (ids.isEmpty) return (Nil, false)
-      val hits = ids.map { id =>
-        val engine = new graft.search.ClpSearch(spark, s"$fleetDir/archives/$id")
-        graft.search.KqlCompiler.filter(
-          engine.withDecodedText(engine.routed), kql)
-          .select(col("ts"), col("text"))
-          // per-archive pre-limit: the global top-k can never need more
-          // than k rows from any one archive. The ORDER must match
-          // collectNewestFirst's global cut (ts desc nulls last, msg asc)
-          // INCLUDING the tie-break — with >k rows tied at the boundary
-          // timestamp inside one archive, a ts-only pre-limit would keep an
-          // arbitrary subset and make the final page nondeterministic.
-          .orderBy(col("ts").desc_nulls_last, col("text").asc)
-          .limit(maxResults + 1)
-      }.reduce(_ unionAll _)
-      collectNewestFirst(hits, "ts", "text", maxResults)
+      // newest end_ts first; null-bounds archives (no timestamped rows at
+      // all — min/max ignore nulls, so null bounds ⇒ every row lacks a ts
+      // and sorts oldest) walk last
+      val ents = graft.pipeline.ClpCatalog.entries(spark, fleetDir)
+        .sortBy(e => (e._3 == null,
+          if (e._3 == null) 0L else -e._3.getTime, e._1))
+      // merge buffer ordered like collectNewestFirst's global cut:
+      // (ts desc nulls last, msg asc), at most k+1 rows
+      val ord = Ordering.by[LogEvent, (Boolean, Long, String)](ev =>
+        (ev.tsMs.isEmpty, -ev.tsMs.getOrElse(0L), ev.message))
+      var buf = Vector.empty[LogEvent]
+      lastBatchesRun = 0
+      val it = ents.grouped(batchSize)
+      var done = false
+      while (!done && it.hasNext) {
+        val batch = it.next()
+        val newestPossible = batch.head._3 // batch is end_ts-desc within the walk
+        val cut = buf.lift(maxResults) // the (k+1)-th row, if the buffer is full
+        if (cut.exists(c => c.tsMs.isDefined &&
+              (newestPossible == null || c.tsMs.get > newestPossible.getTime))) {
+          // every remaining archive (sorted) is older than the full page —
+          // nothing left can displace even the cut row
+          done = true
+        } else {
+          val hits = batch.map { case (id, _, _) =>
+            val engine = new graft.search.ClpSearch(spark, s"$fleetDir/archives/$id")
+            graft.search.KqlCompiler.filter(
+              engine.withDecodedText(engine.routed), kql)
+              .select(col("ts"), col("text"))
+              // per-archive pre-limit: the global top-k can never need more
+              // than k rows from any one archive. The ORDER must match the
+              // global cut (ts desc nulls last, msg asc) INCLUDING the
+              // tie-break — with >k rows tied at the boundary timestamp
+              // inside one archive, a ts-only pre-limit would keep an
+              // arbitrary subset and page nondeterministically.
+              .orderBy(col("ts").desc_nulls_last, col("text").asc)
+              .limit(maxResults + 1)
+          }.reduce(_ unionAll _)
+          val (events, _) = collectNewestFirst(hits, "ts", "text", maxResults + 1)
+          buf = (buf ++ events).sorted(ord).take(maxResults + 1)
+          lastBatchesRun += 1
+        }
+      }
+      (buf.take(maxResults), buf.length > maxResults)
     }
   }
 

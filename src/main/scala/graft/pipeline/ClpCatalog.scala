@@ -242,18 +242,69 @@ object ClpCatalog {
   /** Cross-archive search: catalog-pruned per-archive plans (timestamp
     * window ∩ dictionary-Bloom token summary), one union — each branch runs
     * the full encoded-domain lifecycle (dict probe → sink prune → encoded
-    * match → decode → verify) inside its own archive. */
+    * match → decode → verify) inside its own archive.
+    *
+    * Fan-out is BOUNDED: each admissible archive contributes one plan
+    * branch, so a match-all query over a 10^4-archive fleet would otherwise
+    * hand Catalyst a 10^4-branch union — minutes of driver-side analysis
+    * and a driver-memory-sized plan before any task runs. Past `maxFanout`
+    * admissible archives this refuses loudly (narrow the query / window)
+    * and points at [[searchBatched]], which runs the same search in bounded
+    * per-archive-batch steps — the reference throttles identically: its
+    * query scheduler dispatches bounded archive batches per task
+    * (`job_orchestration/scheduler/query/query_scheduler.py:508-566`). */
   def search(spark: SparkSession, outDir: String, query: String,
              caseSensitive: Boolean = true,
              tsLo: Option[java.sql.Timestamp] = None,
              tsHi: Option[java.sql.Timestamp] = None,
-             asOf: Option[Long] = None): DataFrame = {
+             asOf: Option[Long] = None,
+             maxFanout: Int = 256): DataFrame = {
     val admissible =
       admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf)
+    require(admissible.size <= maxFanout,
+      s"query admits ${admissible.size} archives (> maxFanout=$maxFanout); " +
+        "narrow the query with a time range or more specific tokens, or use " +
+        "ClpCatalog.searchBatched for a bounded-plan full-fleet scan")
     if (admissible.isEmpty) graft.search.ClpSearch.emptyResults(spark)
     else admissible.map { id =>
       new graft.search.ClpSearch(spark, s"$outDir/archives/$id")
         .search(query, caseSensitive, tsLo, tsHi)
     }.reduce(_ unionAll _)
+  }
+
+  /** Full-fleet search with BOUNDED driver plans: admissible archives are
+    * processed in fixed-size batches — each batch is one ≤`batchSize`-branch
+    * union, executed and released before the next begins, its matches
+    * appended to `resultDir` — so driver plan memory and Catalyst analysis
+    * stay O(batchSize) no matter how many archives a match-all query
+    * admits. This is the reference scheduler's bounded per-archive-batch
+    * dispatch re-expressed (the batch loop is the job queue; the parquet
+    * result dir is the results cache the reference streams batch results
+    * into). Returns a reader over the accumulated results; `resultDir`
+    * defaults to a fresh temp dir. */
+  def searchBatched(spark: SparkSession, outDir: String, query: String,
+                    caseSensitive: Boolean = true,
+                    tsLo: Option[java.sql.Timestamp] = None,
+                    tsHi: Option[java.sql.Timestamp] = None,
+                    asOf: Option[Long] = None,
+                    batchSize: Int = 64,
+                    resultDir: Option[String] = None): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val dir = resultDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-fleet-search").toString)
+    val admissible =
+      admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf)
+    // seed the dir with the (possibly empty) result schema so an all-pruned
+    // fleet still answers an empty frame, not a missing-path error
+    graft.search.ClpSearch.emptyResults(spark)
+      .write.mode("overwrite").parquet(dir)
+    admissible.grouped(batchSize).foreach { batch =>
+      batch.map { id =>
+        new graft.search.ClpSearch(spark, s"$outDir/archives/$id")
+          .search(query, caseSensitive, tsLo, tsHi)
+      }.reduce(_ unionAll _)
+        .write.mode("append").parquet(dir)
+    }
+    spark.read.parquet(dir)
   }
 }

@@ -270,4 +270,32 @@ class ClpCatalogSpec extends SparkSpecBase {
       .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).sorted
     assert(got.nonEmpty && got.sameElements(expect))
   }
+
+  test("search refuses past maxFanout with a loud narrow-or-batch error") {
+    val e = intercept[IllegalArgumentException](
+      ClpCatalog.search(spark, catalogDir, "*", maxFanout = 2))
+    assert(e.getMessage.contains("narrow the query"))
+    assert(e.getMessage.contains("searchBatched"))
+    // the same query under the batched entry answers the full fleet
+    assert(ClpCatalog.searchBatched(spark, catalogDir, "*", batchSize = 2)
+      .count() == 400)
+  }
+
+  test("searchBatched ≡ search at every batch size, including an empty fleet") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    val expect = key(ClpCatalog.search(spark, catalogDir, "* code=c1*",
+      tsLo = Some(ts(50)), tsHi = Some(ts(350))))
+    for (b <- Seq(1, 2, 3, 64)) {
+      val got = key(ClpCatalog.searchBatched(spark, catalogDir, "* code=c1*",
+        tsLo = Some(ts(50)), tsHi = Some(ts(350)), batchSize = b))
+      assert(got.nonEmpty && got == expect, s"batchSize=$b")
+    }
+    // all archives pruned → empty frame with the result schema, not an error
+    val none = ClpCatalog.searchBatched(spark, catalogDir, "* code=c1*",
+      tsLo = Some(ts(5000)))
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("conv_id", "turn_idx", "ts", "text"))
+  }
 }

@@ -259,6 +259,37 @@ class McpServerSpec extends SparkSpecBase {
       Seq("request took 37 ms", "request took 27 ms"))
   }
 
+  test("FleetBackend walks archives newest-first in bounded batches, stops early") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-mcp-fleet-batch").toString
+    val turns = spark.range(60).select(
+      concat(lit("conv-"), (col("id") % 4).cast("string")).as("conv_id"),
+      (col("id") / 4).cast("int").as("turn_idx"),
+      lit("user").as("role"),
+      concat(lit("request took "), col("id").cast("string"), lit(" ms")).as("text"),
+      lit("tool").as("tool"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 1000L).as("ts"))
+    // 3 archives of 20 turns each, strictly increasing time ranges
+    graft.pipeline.ClpCatalog.ingest(spark, turns, floor(col("turn_idx") / 5), dir)
+    val one = new McpServer.FleetBackend(spark, dir, batchSize = 1)
+    // batched-by-1 equals the all-in-one-batch result exactly
+    val big = new McpServer.FleetBackend(spark, dir, batchSize = 100)
+    val (e1, o1) = one.searchByKql("""text: "*took *7 ms*"""", 100)
+    val (e2, o2) = big.searchByKql("""text: "*took *7 ms*"""", 100)
+    assert(o1 == o2 && e1 == e2 && e1.length == 6) // 7,17,27,37,47,57
+    assert(one.lastBatchesRun == 3 && big.lastBatchesRun == 1)
+    // early exit: a 2-row page is fully answered by the NEWEST archive
+    // (ids 40-59, every row newer than the older archives' end_ts), so
+    // batches 2 and 3 never run — their archives are never opened
+    val (page, over) = one.searchByKql("text: *", 2)
+    assert(over && page.map(_.message) ==
+      Seq("request took 59 ms", "request took 58 ms"))
+    assert(one.lastBatchesRun == 1, s"ran ${one.lastBatchesRun} batches")
+    // a budget the newest archive cannot fill alone keeps walking
+    val (deep, _) = one.searchByKql("text: *", 25)
+    assert(deep.length == 25 && one.lastBatchesRun == 2)
+  }
+
   // ----------------------------------------------------------- unit layers
 
   test("session TTL: an idle session expires and loses its cache") {
