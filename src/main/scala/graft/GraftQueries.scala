@@ -221,7 +221,11 @@ object GraftQueries {
       val out = java.nio.file.Files.createTempDirectory("graft-catalog").toString
       val slice = least(
         floor((unix_millis(col("ts")) - 1704067200000L) / 125000L), lit(3L))
-      graft.pipeline.ClpCatalog.ingest(s, searchTurns(s, d), slice, out)
+      // user tags per archive (the reference's archive_tags table): the two
+      // older quartiles are "early", the newer two "late" — drives the
+      // tag-scoped fleet search gate; untag-scoped searches ignore them
+      graft.pipeline.ClpCatalog.ingest(s, searchTurns(s, d), slice, out,
+        tagsFor = sl => Seq("all", if (sl.toInt < 2) "early" else "late"))
       out
     })
   }
@@ -247,6 +251,27 @@ object GraftQueries {
       out
     })
   }
+
+  /** Deployment root with TWO registered dataset namespaces ("early" =
+    * ts-quartiles 0-1 of the corpus, "late" = quartiles 2-3), each its own
+    * complete 2-archive catalog — the reference's per-dataset metadata
+    * tables + per-dataset archive storage. */
+  private val datasetRootCache = scala.collection.mutable.Map.empty[String, String]
+  private def datasetRoot(s: SparkSession, d: String): String =
+    datasetRootCache.synchronized {
+      datasetRootCache.getOrElseUpdate(d, {
+        withClp(s)
+        val root = java.nio.file.Files.createTempDirectory("graft-datasets").toString
+        val quart = least(
+          floor((unix_millis(col("ts")) - 1704067200000L) / 125000L), lit(3L))
+        val turns = searchTurns(s, d)
+        graft.pipeline.ClpCatalog.ingest(s, turns.filter(quart < 2), quart,
+          graft.pipeline.ClpCatalog.addDataset(s, root, "early"))
+        graft.pipeline.ClpCatalog.ingest(s, turns.filter(quart >= 2), quart,
+          graft.pipeline.ClpCatalog.addDataset(s, root, "late"))
+        root
+      })
+    }
 
   /** DuckDB twin of [[bloomCatalog]]'s text column. */
   private val sqlBloomText =
@@ -556,6 +581,24 @@ object GraftQueries {
       graft.pipeline.ClpCatalog.search(s, bloomCatalog(s, d), "* job2 *")
         .select("conv_id", "turn_idx")
         .orderBy("conv_id", "turn_idx")),
+    "clp_catalog_tags" -> ((s, d) =>
+      // tag-scoped fleet search (the reference's tags/archive_tags filter
+      // in the query scheduler): tags=["early"] admits ONLY the archives
+      // tagged "early" at ingest — the two older ts-quartiles — before any
+      // archive dir opens; no time window needed to scope the search
+      graft.pipeline.ClpCatalog.search(s, searchCatalog(s, d), "* code=es *",
+          tags = Some(Seq("early")))
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")),
+    "clp_catalog_dataset" -> ((s, d) =>
+      // dataset-namespaced fleet (the reference's per-dataset metadata
+      // tables + storage dirs): the deployment root registers datasets
+      // "early"/"late", each a complete independent catalog; a search
+      // scoped to "late" runs only inside that dataset's archives
+      graft.pipeline.ClpCatalog.searchDataset(s, datasetRoot(s, d), "late",
+          "* code=es *")
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")),
     "clp_catalog_search_batched" -> ((s, d) =>
       // BOUNDED-plan full-fleet search (the reference scheduler's per-
       // archive-batch dispatch): batchSize=1 forces one driver step per
@@ -571,6 +614,30 @@ object GraftQueries {
           batchSize = 1)
         .select("conv_id", "turn_idx")
         .orderBy("conv_id", "turn_idx")),
+    "clp_results_cache" -> ((s, d) => {
+      // S9 results-cache PERSISTENCE + retention (the reference's MongoDB
+      // results cache and its search-result garbage collector): two search
+      // jobs' result sets are committed to the cache with finished
+      // timestamps two days apart, the sweep horizon falls between them —
+      // job 1 must be dropped (metadata first, then data) and job 2 must
+      // re-read byte-identically from its own lake snapshot. The returned
+      // frame proves all three: the survivor's rows, the post-sweep job
+      // count, and exactly which job ids this sweep retired.
+      val root = java.nio.file.Files.createTempDirectory("graft-results").toString
+      val arch = searchArchive(s, d)
+      def run(q: String) = new graft.search.ClpSearch(s, arch)
+        .search(q).select("conv_id", "turn_idx")
+      graft.pipeline.ResultsCache.put(s, root, "1", run("* code=de *"),
+        new java.sql.Timestamp(1704067200000L))
+      graft.pipeline.ResultsCache.put(s, root, "2", run("* code=es *"),
+        new java.sql.Timestamp(1704067200000L + 2L * 86400000L))
+      val swept = graft.pipeline.ResultsCache
+        .sweep(s, root, new java.sql.Timestamp(1704067200000L + 86400000L))
+      graft.pipeline.ResultsCache.get(s, root, "2")
+        .withColumn("n_jobs", lit(graft.pipeline.ResultsCache.jobs(s, root).size))
+        .withColumn("swept", lit(swept.mkString(",")))
+        .orderBy("conv_id", "turn_idx")
+    }),
     "clp_encoded_agg" -> ((s, d) => {
       // analytics pushed into the ENCODED domain — the query the GLT paper
       // motivates per-variable column groups with (glt/ArchiveReader
@@ -2056,6 +2123,17 @@ object GraftQueries {
     "clp_catalog_search_batched" ->
       sqlSearchSelect(
         s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 130 AND 260"),
+    "clp_catalog_tags" ->
+      sqlSearchSelect(
+        s"($sqlSearchText) LIKE '% code=es %' AND least(doc_id // 125, 3) < 2"),
+    "clp_results_cache" ->
+      s"""SELECT $sqlSearchConv AS conv_id, CAST(doc_id // 50 AS INT) AS turn_idx,
+         |  CAST(1 AS INT) AS n_jobs, '1' AS swept
+         |FROM documents WHERE ($sqlSearchText) LIKE '% code=es %'
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+    "clp_catalog_dataset" ->
+      sqlSearchSelect(
+        s"($sqlSearchText) LIKE '% code=es %' AND least(doc_id // 125, 3) >= 2"),
     "clp_encoded_agg" ->
       """SELECT lang AS role, count(*) AS n,
         |  round(avg((doc_id % 7) * 100 + 3), 4) AS avg_status,

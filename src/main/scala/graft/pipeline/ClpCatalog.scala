@@ -35,7 +35,8 @@ object ClpCatalog {
     * `appendEntry` registers it — there is no fleet-wide loop anywhere.
     */
   def ingest(spark: SparkSession, turns: DataFrame, sliceCol: Column,
-             outDir: String, maxSinks: Int = 8, saltParts: Int = 8): Unit = {
+             outDir: String, maxSinks: Int = 8, saltParts: Int = 8,
+             tagsFor: String => Seq[String] = _ => Nil): Unit = {
     // a null slice value (e.g. a null ts through a date-truncation slice)
     // must not NPE the sort or silently match no rows in the === filter
     // below — it routes to its own named archive, losslessly
@@ -55,9 +56,10 @@ object ClpCatalog {
     val emptyCatalog = spark.range(0).select(
       lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
       lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"),
-      lit(null).cast("array<bigint>").as("dict_bloom"))
+      lit(null).cast("array<bigint>").as("dict_bloom"),
+      lit(null).cast("array<string>").as("tags"))
     LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog)
-    slices.foreach(sl => appendEntry(spark, outDir, s"arch_$sl"))
+    slices.foreach(sl => appendEntry(spark, outDir, s"arch_$sl", tagsFor(sl)))
   }
 
   /** Register one finished archive in the fleet catalog: roll its ts bounds
@@ -69,29 +71,32 @@ object ClpCatalog {
     * This is the production path (the reference's scheduler registers each
     * compression job's archive in the metadata DB as it completes);
     * [[ingest]]'s per-slice loop is the test-harness shape. */
-  def appendEntry(spark: SparkSession, outDir: String, archiveId: String): Long = {
+  def appendEntry(spark: SparkSession, outDir: String, archiveId: String,
+                  tags: Seq[String] = Nil): Long = {
     val base = spark.read.parquet(s"$outDir/archives/$archiveId/sink_stats")
       .agg(min(col("min_ts")).as("begin_ts"), max(col("max_ts")).as("end_ts"),
         sum(col("n_rows")).cast("long").as("n_messages"))
       .withColumn("archive_id", lit(archiveId))
       .select("archive_id", "begin_ts", "end_ts", "n_messages")
-    // dictionary-token Bloom summary (see [[DictBloom]]): registered only
-    // when the committed catalog carries the column — a catalog created
-    // before the summary existed keeps appending its own schema (the lake
-    // shim refuses silent drift), it just never fleet-prunes by token
-    val wantsBloom = LakeTable.read(spark, s"$outDir/catalog")
-      .columns.contains("dict_bloom")
-    val entry =
-      if (!wantsBloom) base
-      else {
-        val bloom =
-          try Some(DictBloom.build(
-            spark.read.parquet(s"$outDir/archives/$archiveId/var_dict"), "value"))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        base.withColumn("dict_bloom",
-          bloom.map(b => typedLit(b.toSeq)).getOrElse(lit(null))
-            .cast("array<bigint>"))
-      }
+    // dictionary-token Bloom summary (see [[DictBloom]]) and user tags:
+    // registered only when the committed catalog carries the column — a
+    // catalog created before either existed keeps appending its own schema
+    // (the lake shim refuses silent drift), it just never fleet-prunes by
+    // token / is never tag-addressable
+    val catCols = LakeTable.read(spark, s"$outDir/catalog").columns.toSet
+    var entry = base
+    if (catCols.contains("dict_bloom")) {
+      val bloom =
+        try Some(DictBloom.build(
+          spark.read.parquet(s"$outDir/archives/$archiveId/var_dict"), "value"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      entry = entry.withColumn("dict_bloom",
+        bloom.map(b => typedLit(b.toSeq)).getOrElse(lit(null))
+          .cast("array<bigint>"))
+    }
+    if (catCols.contains("tags"))
+      entry = entry.withColumn("tags",
+        (if (tags.isEmpty) lit(null) else typedLit(tags)).cast("array<string>"))
     LakeTable.append(spark, s"$outDir/catalog", entry)
   }
 
@@ -118,32 +123,48 @@ object ClpCatalog {
             (tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi))) => id
     }.toSeq
 
-  /** Catalog-level token pruning on top of the ts prune: archives whose
-    * [begin, end] intersects the window AND whose dictionary Bloom summary
-    * admits the query (see [[DictBloom.admits]]). An archive with no
-    * summary (null column, pre-summary catalog, empty archive with no
-    * var_dict) is never token-pruned — only a definitive Bloom miss on a
-    * required exact dictionary token prunes. Decided from catalog metadata
-    * alone; no archive directory opens for a pruned archive. */
+  /** Catalog-level token + tag pruning on top of the ts prune: archives
+    * whose [begin, end] intersects the window AND whose dictionary Bloom
+    * summary admits the query (see [[DictBloom.admits]]) AND — when `tags`
+    * is given — that carry at least one of the requested tags. An archive
+    * with no Bloom summary (null column, pre-summary catalog, empty archive
+    * with no var_dict) is never token-pruned — only a definitive Bloom miss
+    * on a required exact dictionary token prunes. The tag rule is the
+    * reference's scheduler filter (`query_scheduler.py:417-419`: archive id
+    * IN archives tagged with ANY requested tag — an untagged archive is
+    * EXCLUDED by a tag-scoped search, it can only be reached untagged).
+    * Decided from catalog metadata alone; no archive directory opens for a
+    * pruned archive. */
   def admissibleArchivesFor(spark: SparkSession, outDir: String, query: String,
                             caseSensitive: Boolean,
                             tsLo: Option[java.sql.Timestamp],
                             tsHi: Option[java.sql.Timestamp],
-                            asOf: Option[Long] = None): Seq[String] = {
+                            asOf: Option[Long] = None,
+                            tags: Option[Seq[String]] = None): Seq[String] = {
     val cat = LakeTable.read(spark, s"$outDir/catalog", asOf)
-    if (!cat.columns.contains("dict_bloom"))
-      return admissibleArchives(spark, outDir, tsLo, tsHi, asOf)
-    cat.select("archive_id", "begin_ts", "end_ts", "dict_bloom").collect()
-      .toSeq.collect {
-        case r if {
-          val (b, e) = (r.getTimestamp(1), r.getTimestamp(2))
-          val tsOk = b == null || e == null ||
-            (tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi)))
-          val bloomOk = r.isNullAt(3) ||
-            DictBloom.admits(r.getSeq[Long](3).toArray, query, caseSensitive)
-          tsOk && bloomOk
-        } => r.getString(0)
-      }
+    val cols = cat.columns.toSet
+    val hasBloom = cols.contains("dict_bloom")
+    val hasTags = cols.contains("tags")
+    val selected = Seq("archive_id", "begin_ts", "end_ts") ++
+      (if (hasBloom) Seq("dict_bloom") else Nil) ++
+      (if (hasTags) Seq("tags") else Nil)
+    val bloomAt = selected.indexOf("dict_bloom")
+    val tagsAt = selected.indexOf("tags")
+    cat.select(selected.map(col): _*).collect().toSeq.collect {
+      case r if {
+        val (b, e) = (r.getTimestamp(1), r.getTimestamp(2))
+        val tsOk = b == null || e == null ||
+          (tsLo.forall(lo => !e.before(lo)) && tsHi.forall(hi => !b.after(hi)))
+        val bloomOk = bloomAt < 0 || r.isNullAt(bloomAt) ||
+          DictBloom.admits(r.getSeq[Long](bloomAt).toArray, query, caseSensitive)
+        val tagOk = tags match {
+          case None => true
+          case Some(req) => tagsAt >= 0 && !r.isNullAt(tagsAt) &&
+            r.getSeq[String](tagsAt).exists(req.contains)
+        }
+        tsOk && bloomOk && tagOk
+      } => r.getString(0)
+    }
   }
 
   /** Fleet retention sweep — the reference's archive garbage collector
@@ -258,9 +279,10 @@ object ClpCatalog {
              tsLo: Option[java.sql.Timestamp] = None,
              tsHi: Option[java.sql.Timestamp] = None,
              asOf: Option[Long] = None,
-             maxFanout: Int = 256): DataFrame = {
+             maxFanout: Int = 256,
+             tags: Option[Seq[String]] = None): DataFrame = {
     val admissible =
-      admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf)
+      admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf, tags)
     require(admissible.size <= maxFanout,
       s"query admits ${admissible.size} archives (> maxFanout=$maxFanout); " +
         "narrow the query with a time range or more specific tokens, or use " +
@@ -288,12 +310,13 @@ object ClpCatalog {
                     tsHi: Option[java.sql.Timestamp] = None,
                     asOf: Option[Long] = None,
                     batchSize: Int = 64,
-                    resultDir: Option[String] = None): DataFrame = {
+                    resultDir: Option[String] = None,
+                    tags: Option[Seq[String]] = None): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive: $batchSize")
     val dir = resultDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-fleet-search").toString)
     val admissible =
-      admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf)
+      admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf, tags)
     // seed the dir with the (possibly empty) result schema so an all-pruned
     // fleet still answers an empty frame, not a missing-path error
     graft.search.ClpSearch.emptyResults(spark)
@@ -306,5 +329,60 @@ object ClpCatalog {
         .write.mode("append").parquet(dir)
     }
     spark.read.parquet(dir)
+  }
+
+  // ------------------------------------------------------------- datasets
+  // The reference's dataset namespaces (clp_metadata_db_utils.py:127-181:
+  // a `datasets` registry table plus a FULL per-dataset set of metadata
+  // tables named `<prefix><dataset>_<suffix>`, archives stored under
+  // `<storage>/<dataset>`): here a deployment ROOT holds a snapshot-
+  // versioned `_datasets` registry and one complete, independent catalog
+  // directory per dataset — ingest, tags, Bloom summaries, retention and
+  // searches are all dataset-scoped, and one dataset's sweep can never
+  // touch another's archives.
+
+  private val DatasetNameRule = "^[A-Za-z0-9_-]{1,64}$".r
+
+  /** Resolve a dataset's catalog directory under `root` (name validated —
+    * the name becomes a path segment, so it must not traverse). */
+  def datasetDir(root: String, name: String): String = {
+    require(DatasetNameRule.matches(name),
+      s"invalid dataset name '$name' (allowed: [A-Za-z0-9_-]{1,64})")
+    s"$root/$name"
+  }
+
+  /** Register a dataset (idempotent) and answer its catalog directory —
+    * the reference's `add_dataset` row + per-dataset table creation. */
+  def addDataset(spark: SparkSession, root: String, name: String): String = {
+    val dir = datasetDir(root, name)
+    if (!datasets(spark, root).contains(name))
+      LakeTable.append(spark, s"$root/_datasets",
+        spark.range(1).select(lit(name).as("name")))
+    dir
+  }
+
+  /** All registered dataset names — `fetch_existing_datasets`. */
+  def datasets(spark: SparkSession, root: String): Seq[String] =
+    LakeTable.snapshot(spark, s"$root/_datasets") match {
+      case None => Nil
+      case Some(_) => LakeTable.read(spark, s"$root/_datasets")
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+
+  /** Dataset-scoped fleet search: refuses an unregistered dataset loudly
+    * (the reference errors on a nonexistent dataset rather than answering
+    * empty) and otherwise runs [[search]] inside that dataset's catalog. */
+  def searchDataset(spark: SparkSession, root: String, dataset: String,
+                    query: String, caseSensitive: Boolean = true,
+                    tsLo: Option[java.sql.Timestamp] = None,
+                    tsHi: Option[java.sql.Timestamp] = None,
+                    asOf: Option[Long] = None,
+                    maxFanout: Int = 256,
+                    tags: Option[Seq[String]] = None): DataFrame = {
+    val known = datasets(spark, root)
+    require(known.contains(dataset),
+      s"unknown dataset '$dataset' (registered: ${known.mkString(", ")})")
+    search(spark, datasetDir(root, dataset), query, caseSensitive,
+      tsLo, tsHi, asOf, maxFanout, tags)
   }
 }

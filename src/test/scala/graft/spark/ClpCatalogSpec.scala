@@ -271,6 +271,60 @@ class ClpCatalogSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.sameElements(expect))
   }
 
+  test("tag-scoped search admits only archives carrying a requested tag") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-tags").toString
+    ClpCatalog.ingest(spark, turns, floor(col("turn_idx") / 5), out,
+      tagsFor = sl => Seq("all", if (sl.toInt < 2) "prod" else "dev"))
+    // tag prune decides from catalog metadata alone
+    assert(ClpCatalog.admissibleArchivesFor(spark, out, "*",
+      caseSensitive = true, None, None, tags = Some(Seq("prod")))
+      == Seq("arch_0", "arch_1"))
+    // any-of semantics: two tags admit their union of archives
+    assert(ClpCatalog.admissibleArchivesFor(spark, out, "*",
+      caseSensitive = true, None, None, tags = Some(Seq("dev", "prod")))
+      .size == 4)
+    // tags compose with the ts window (intersection)
+    assert(ClpCatalog.admissibleArchivesFor(spark, out, "*",
+      caseSensitive = true, Some(ts(110)), None, tags = Some(Seq("prod")))
+      == Seq("arch_1"))
+    // the scoped search answers exactly the tagged archives' rows
+    assert(ClpCatalog.search(spark, out, "*", tags = Some(Seq("dev")))
+      .count() == 200)
+    assert(ClpCatalog.searchBatched(spark, out, "*", batchSize = 1,
+      tags = Some(Seq("dev"))).count() == 200)
+    // an unknown tag, or a tag filter over an untagged catalog, admits
+    // nothing — same as the reference's archive_tags join
+    assert(ClpCatalog.search(spark, out, "*", tags = Some(Seq("nope"))).count() == 0)
+    assert(ClpCatalog.search(spark, catalogDir, "*",
+      tags = Some(Seq("prod"))).count() == 0)
+  }
+
+  test("dataset namespaces: registry, scoped search, unknown dataset refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-ds").toString
+    assert(ClpCatalog.datasets(spark, root).isEmpty)
+    val webDir = ClpCatalog.addDataset(spark, root, "web")
+    ClpCatalog.addDataset(spark, root, "web") // idempotent
+    val dbDir = ClpCatalog.addDataset(spark, root, "db")
+    assert(ClpCatalog.datasets(spark, root) == Seq("db", "web"))
+    ClpCatalog.ingest(spark, turns.filter(col("turn_idx") < 10),
+      floor(col("turn_idx") / 5), webDir)
+    ClpCatalog.ingest(spark, turns.filter(col("turn_idx") >= 10),
+      floor(col("turn_idx") / 5), dbDir)
+    assert(ClpCatalog.searchDataset(spark, root, "web", "*").count() == 200)
+    assert(ClpCatalog.searchDataset(spark, root, "db", "*").count() == 200)
+    val e = intercept[IllegalArgumentException](
+      ClpCatalog.searchDataset(spark, root, "nope", "*"))
+    assert(e.getMessage.contains("unknown dataset"))
+    // names become path segments: traversal shapes are rejected up front
+    intercept[IllegalArgumentException](
+      ClpCatalog.addDataset(spark, root, "../escape"))
+    // one dataset's retention sweep never touches another's archives
+    ClpCatalog.retire(spark, webDir, ts(10000))
+    assert(ClpCatalog.datasets(spark, root) == Seq("db", "web"))
+    assert(ClpCatalog.searchDataset(spark, root, "web", "*").count() == 0)
+    assert(ClpCatalog.searchDataset(spark, root, "db", "*").count() == 200)
+  }
+
   test("search refuses past maxFanout with a loud narrow-or-batch error") {
     val e = intercept[IllegalArgumentException](
       ClpCatalog.search(spark, catalogDir, "*", maxFanout = 2))
