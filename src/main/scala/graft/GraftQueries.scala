@@ -273,6 +273,24 @@ object GraftQueries {
       })
     }
 
+  /** Fleet of four JSON archives sliced by the generator's schema variant
+    * (doc_id % 4) so each archive holds exactly one MPT shape — the
+    * column-set prune ([[graft.pipeline.ClpCatalog.appendJsonEntry]]'s
+    * `columns` summary) can then prove it opens only archives carrying the
+    * queried column. */
+  private val jsonFleetCache = scala.collection.mutable.Map.empty[String, String]
+  private def jsonFleet(s: SparkSession, d: String): String =
+    jsonFleetCache.synchronized {
+      jsonFleetCache.getOrElseUpdate(d, {
+        val out = java.nio.file.Files.createTempDirectory("graft-json-fleet").toString
+        graft.pipeline.ClpCatalog.ingestJson(s, jsonlDocs(s, d), "json",
+          col("doc_id") % 4, out,
+          options = graft.pipeline.JsonPipeline.Options(
+            timestampKey = Some("ts"), orderCol = Some("doc_id")))
+        out
+      })
+    }
+
   /** DuckDB twin of [[bloomCatalog]]'s text column. */
   private val sqlBloomText =
     s"($sqlSearchText) || ' job' || CAST(least(doc_id // 125, 3) AS VARCHAR) || ' fin'"
@@ -599,6 +617,15 @@ object GraftQueries {
           "* code=es *")
         .select("conv_id", "turn_idx")
         .orderBy("conv_id", "turn_idx")),
+    "clp_catalog_kql_fleet" -> ((s, d) =>
+      // fleet KQL over JSON archives with COLUMN-SET pruning (the
+      // reference's external-SQL column index, clp_s/indexer/
+      // IndexManager.cpp): only the one archive whose MPT carries a leaf
+      // matching `*.lang` is opened (ClpCatalogSpec asserts the admissible
+      // set); results must equal the single-archive jsonl_kql_nested search
+      graft.pipeline.ClpCatalog.searchKql(s, jsonFleet(s, d),
+          "*.lang : en AND k >= 50", Seq("id"))
+        .orderBy("id")),
     "clp_catalog_search_batched" -> ((s, d) =>
       // BOUNDED-plan full-fleet search (the reference scheduler's per-
       // archive-batch dispatch): batchSize=1 forces one driver step per
@@ -2123,6 +2150,10 @@ object GraftQueries {
     "clp_catalog_search_batched" ->
       sqlSearchSelect(
         s"($sqlSearchText) LIKE '% code=es %' AND doc_id BETWEEN 130 AND 260"),
+    "clp_catalog_kql_fleet" ->
+      """SELECT doc_id AS id FROM documents
+        |WHERE doc_id % 4 = 1 AND lang = 'en' AND doc_id % 100 >= 50
+        |ORDER BY id""".stripMargin,
     "clp_catalog_tags" ->
       sqlSearchSelect(
         s"($sqlSearchText) LIKE '% code=es %' AND least(doc_id // 125, 3) < 2"),

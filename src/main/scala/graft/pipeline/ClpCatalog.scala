@@ -57,7 +57,8 @@ object ClpCatalog {
       lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
       lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"),
       lit(null).cast("array<bigint>").as("dict_bloom"),
-      lit(null).cast("array<string>").as("tags"))
+      lit(null).cast("array<string>").as("tags"),
+      lit(null).cast("array<string>").as("columns"))
     LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog)
     slices.foreach(sl => appendEntry(spark, outDir, s"arch_$sl", tagsFor(sl)))
   }
@@ -97,6 +98,9 @@ object ClpCatalog {
     if (catCols.contains("tags"))
       entry = entry.withColumn("tags",
         (if (tags.isEmpty) lit(null) else typedLit(tags)).cast("array<string>"))
+    if (catCols.contains("columns"))
+      // text archives carry no MPT; the column-set prune never applies
+      entry = entry.withColumn("columns", lit(null).cast("array<string>"))
     LakeTable.append(spark, s"$outDir/catalog", entry)
   }
 
@@ -329,6 +333,193 @@ object ClpCatalog {
         .write.mode("append").parquet(dir)
     }
     spark.read.parquet(dir)
+  }
+
+  // ------------------------------------------------- JSON-archive fleets
+  // The same catalog over clp_s-style JSON archives ([[JsonPipeline]]), with
+  // one extra per-archive summary: the MPT leaf set (`columns`, escaped
+  // `path:type` strings from [[graft.search.KqlCompiler.leafSummary]]) — the
+  // reference's external-SQL column index
+  // (`clp_s/indexer/IndexManager.cpp` registers each archive's column
+  // name/type pairs in MySQL so an external planner skips archives lacking a
+  // queried column). A fleet KQL search prunes on it BEFORE any archive dir
+  // opens, with the same conservatism as the Bloom rule: only a definitive
+  // structural miss (a required filter whose pattern resolves to no leaf
+  // under KqlCompiler's own namespace + wildcard path matching) prunes.
+
+  /** Routes `jsonl` into one JSON archive per distinct `sliceCol` value and
+    * registers each in the fleet catalog with ts bounds + MPT column set —
+    * the JSON twin of [[ingest]] (same test-harness loop caveat). */
+  def ingestJson(spark: SparkSession, jsonl: DataFrame, jsonCol: String,
+                 sliceCol: Column, outDir: String,
+                 metadata: Seq[(String, Column)] = Nil,
+                 options: JsonPipeline.Options = JsonPipeline.Options(),
+                 tagsFor: String => Seq[String] = _ => Nil): Unit = {
+    val sliced = jsonl.withColumn("_slice",
+      coalesce(sliceCol.cast("string"), lit("null")))
+    val slices = sliced.select("_slice").distinct()
+      .collect().map(_.getString(0)).sorted
+    slices.foreach { sl =>
+      JsonPipeline.route(spark,
+        sliced.filter(col("_slice") === sl).drop("_slice"), jsonCol,
+        s"$outDir/archives/arch_$sl", metadata, options)
+    }
+    val emptyCatalog = spark.range(0).select(
+      lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
+      lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"),
+      lit(null).cast("array<bigint>").as("dict_bloom"),
+      lit(null).cast("array<string>").as("tags"),
+      lit(null).cast("array<string>").as("columns"))
+    LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog)
+    slices.foreach(sl => appendJsonEntry(spark, outDir, s"arch_$sl", tagsFor(sl)))
+  }
+
+  /** The MPT leaf summary of one JSON archive's SEARCH FRAMES: per schema,
+    * exactly the StructType [[JsonPipeline.kqlSearch]] compiles against
+    * (metadata `$`-columns + `log_event_idx` + the derived record schema),
+    * walked by [[graft.search.KqlCompiler.leafSummary]] — so the stored
+    * summary and the real per-archive resolution can never drift. */
+  private def jsonArchiveColumns(spark: SparkSession, archDir: String): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val metaFields =
+      try spark.read.parquet(s"$archDir/records").schema.fields.toSeq
+        .filter(_.name.startsWith("$"))
+      catch { case _: org.apache.spark.sql.AnalysisException => Nil } // empty archive
+    val schemaJsons =
+      spark.read.parquet(s"$archDir/table_schemas").select("spark_schema")
+        .collect().map(_.getString(0)).toSeq
+    schemaJsons.flatMap { js =>
+      val st = DataType.fromJson(js).asInstanceOf[StructType]
+      graft.search.KqlCompiler.leafSummary(StructType(
+        metaFields ++ Seq(StructField("log_event_idx", LongType)) ++ st.fields))
+    }.distinct.sorted
+  }
+
+  /** Register one finished JSON archive: ts bounds + message count rolled up
+    * from its own schema catalog (metadata-only), plus the MPT column-set
+    * summary — the JSON twin of [[appendEntry]]. */
+  def appendJsonEntry(spark: SparkSession, outDir: String, archiveId: String,
+                      tags: Seq[String] = Nil): Long = {
+    val arch = s"$outDir/archives/$archiveId"
+    val base = spark.read.parquet(s"$arch/schemas")
+      .agg(timestamp_millis(min(col("min_ts"))).as("begin_ts"),
+        timestamp_millis(max(col("max_ts"))).as("end_ts"),
+        coalesce(sum(col("n_records")), lit(0L)).cast("long").as("n_messages"))
+      .withColumn("archive_id", lit(archiveId))
+      .select("archive_id", "begin_ts", "end_ts", "n_messages")
+    val catCols = LakeTable.read(spark, s"$outDir/catalog").columns.toSet
+    var entry = base
+    if (catCols.contains("dict_bloom"))
+      entry = entry.withColumn("dict_bloom", lit(null).cast("array<bigint>"))
+    if (catCols.contains("tags"))
+      entry = entry.withColumn("tags",
+        (if (tags.isEmpty) lit(null) else typedLit(tags)).cast("array<string>"))
+    if (catCols.contains("columns")) {
+      val cols = jsonArchiveColumns(spark, arch)
+      entry = entry.withColumn("columns", typedLit(cols).cast("array<string>"))
+    }
+    LakeTable.append(spark, s"$outDir/catalog", entry)
+  }
+
+  /** Archives a KQL query must open: ts window ∩ tags ∩ column-set summary
+    * ([[graft.search.KqlCompiler.couldMatchLeaves]]). An archive with no
+    * summary (null column, pre-summary catalog) is never column-pruned.
+    * Decided from catalog metadata alone. `tsLo`/`tsHi` are epoch millis,
+    * matching [[JsonPipeline.kqlSearch]]. */
+  def admissibleArchivesForKql(spark: SparkSession, outDir: String, kql: String,
+                               tsLo: Option[Long], tsHi: Option[Long],
+                               asOf: Option[Long] = None,
+                               tags: Option[Seq[String]] = None): Seq[String] = {
+    val ast = graft.search.Kql.parse(kql) match {
+      case Right(a) => a
+      case Left(err) => throw new IllegalArgumentException(s"KQL parse error: $err")
+    }
+    val loTs = tsLo.map(ms => new java.sql.Timestamp(ms))
+    val hiTs = tsHi.map(ms => new java.sql.Timestamp(ms))
+    val cat = LakeTable.read(spark, s"$outDir/catalog", asOf)
+    val cols = cat.columns.toSet
+    val selected = Seq("archive_id", "begin_ts", "end_ts") ++
+      (if (cols.contains("tags")) Seq("tags") else Nil) ++
+      (if (cols.contains("columns")) Seq("columns") else Nil)
+    val tagsAt = selected.indexOf("tags")
+    val colsAt = selected.indexOf("columns")
+    cat.select(selected.map(col): _*).collect().toSeq.collect {
+      case r if {
+        val (b, e) = (r.getTimestamp(1), r.getTimestamp(2))
+        val tsOk = b == null || e == null ||
+          (loTs.forall(lo => !e.before(lo)) && hiTs.forall(hi => !b.after(hi)))
+        val tagOk = tags match {
+          case None => true
+          case Some(req) => tagsAt >= 0 && !r.isNullAt(tagsAt) &&
+            r.getSeq[String](tagsAt).exists(req.contains)
+        }
+        val colOk = colsAt < 0 || r.isNullAt(colsAt) ||
+          graft.search.KqlCompiler.couldMatchLeaves(ast, r.getSeq[String](colsAt))
+        tsOk && tagOk && colOk
+      } => r.getString(0)
+    }
+  }
+
+  /** Union results across archives with [[JsonPipeline.kqlSearch]]'s own
+    * projection-widening rule (name-sharing columns with irreconcilable
+    * types: numeric→double, else string; struct/array stringified as JSON;
+    * archive-absent columns null-filled) — first-seen column order. */
+  private def widenUnion(parts: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outTypes = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    parts.foreach(_.schema.fields.foreach { f =>
+      outTypes.get(f.name) match {
+        case None => outTypes(f.name) = f.dataType
+        case Some(prev) if prev == f.dataType => ()
+        case Some(prev) =>
+          val bothNumeric = Seq(prev, f.dataType).forall(t =>
+            t == LongType || t == DoubleType || t.isInstanceOf[DecimalType])
+          outTypes(f.name) = if (bothNumeric) DoubleType else StringType
+      }
+    })
+    val aligned = parts.map { df =>
+      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      df.select(outTypes.toSeq.map { case (nm, dt) =>
+        have.get(nm) match {
+          case None => lit(null).cast(dt).as(nm)
+          case Some(src) =>
+            val c = col(graft.search.KqlCompiler.quoteName(nm))
+            val cast =
+              if (src == dt) c
+              else if (dt == StringType && (src.isInstanceOf[StructType] ||
+                src.isInstanceOf[ArrayType])) to_json(c)
+              else c.cast(dt)
+            cast.as(nm)
+        }
+      }: _*)
+    }
+    aligned.reduce(_ unionAll _)
+  }
+
+  /** Fleet KQL search over JSON archives: column-set + ts + tag pruning from
+    * catalog metadata, then one [[JsonPipeline.kqlSearch]] per admissible
+    * archive (each with its own schema-pruned per-schema plans), widened into
+    * one result. Fan-out bounded exactly like [[search]]. */
+  def searchKql(spark: SparkSession, outDir: String, kql: String,
+                selectCols: Seq[String],
+                tsLo: Option[Long] = None, tsHi: Option[Long] = None,
+                asOf: Option[Long] = None,
+                maxFanout: Int = 256,
+                tags: Option[Seq[String]] = None): DataFrame = {
+    val admissible =
+      admissibleArchivesForKql(spark, outDir, kql, tsLo, tsHi, asOf, tags)
+    require(admissible.size <= maxFanout,
+      s"query admits ${admissible.size} archives (> maxFanout=$maxFanout); " +
+        "narrow the query with a time range, tags, or more specific columns")
+    if (admissible.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(selectCols.filterNot(_.contains("*"))
+          .map(c => StructField(c, StringType))))
+    } else widenUnion(admissible.map(id =>
+      JsonPipeline.kqlSearch(spark, s"$outDir/archives/$id", kql, selectCols,
+        tsLo, tsHi)))
   }
 
   // ------------------------------------------------------------- datasets

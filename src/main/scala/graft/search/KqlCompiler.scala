@@ -318,6 +318,87 @@ object KqlCompiler {
               rangeIndex: Option[Seq[RangeIndex.Entry]]): Column =
     nnf(expr, schema, neg = false, rangeIndex)
 
+  // ---- fleet column-set summaries (the external-SQL column index) -----------
+
+  /** Escape one path segment for the summary encoding: '\', '.', and ':'
+    * are structural ([[Kql.splitColumn]]'s escape convention plus the
+    * path/type separator). */
+  private def escapeSegment(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      if (c == '\\' || c == '.' || c == ':') sb.append('\\')
+      sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[escapeSegment]] / the escapes [[Kql.splitColumn]] keeps. */
+  private def unescapeSegment(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Splits a summary entry at its first UNESCAPED ':' into (path, type). */
+  private def splitSummaryEntry(s: String): (String, String) = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == ':') return (s.substring(0, i), s.substring(i + 1))
+      else i += 1
+    }
+    (s, "")
+  }
+
+  /**
+   * The MPT leaf summary of one search-frame schema: every leaf [[compile]]
+   * can address, as `escaped.dotted.path:sparkType` strings — the per-archive
+   * column-set index the fleet catalog stores, matching the reference's
+   * external-SQL column index (`clp_s/indexer/IndexManager.cpp` registers
+   * each archive's (column name, type) pairs in MySQL so an external planner
+   * can skip archives lacking a queried column). Computed from the SAME leaf
+   * walk `compile` resolves against, so the summary and the real resolution
+   * can never drift.
+   */
+  def leafSummary(schema: StructType): Seq[String] =
+    leaves(schema).map { case (p, l) =>
+      p.map(escapeSegment).mkString(".") + ":" + l.dt.simpleString
+    }.distinct.sorted
+
+  /**
+   * Plan-time fleet prune over a stored [[leafSummary]]: could `expr` match
+   * ANY record drawn from an archive whose addressable leaves are
+   * `summary`? Reuses the SAME namespace rule and per-segment wildcard path
+   * matching as [[compile]]'s leaf resolution, with the same NNF existence
+   * semantics (SchemaMatch: a filter whose pattern matches no leaf is false,
+   * negated or not), and [[graft.pipeline.DictBloom]]'s conservatism: a
+   * present path is optimistically satisfiable regardless of its type or the
+   * operator, so only a DEFINITIVE structural miss prunes — no false
+   * negatives, ever.
+   */
+  def couldMatchLeaves(expr: Kql.Expr, summary: Seq[String]): Boolean = {
+    val paths = summary.map(e =>
+      Kql.splitColumn(splitSummaryEntry(e)._1).map(unescapeSegment))
+    def eval(e: Kql.Expr, neg: Boolean): Boolean = e match {
+      case Kql.And(l, r) =>
+        if (neg) eval(l, neg) || eval(r, neg) else eval(l, neg) && eval(r, neg)
+      case Kql.Or(l, r) =>
+        if (neg) eval(l, neg) && eval(r, neg) else eval(l, neg) || eval(r, neg)
+      case Kql.Not(inner) => eval(inner, !neg)
+      case Kql.Filter(pattern, _, _, _) =>
+        // absent ⇒ false whether negated or not (nnf's matched.isEmpty rule);
+        // present ⇒ optimistically true (the per-archive compile decides)
+        paths.exists(p => namespaceOk(pattern, p) && pathMatches(pattern, p))
+    }
+    eval(expr, neg = false)
+  }
+
   /**
    * Resolves projection patterns against a schema — the clp_s
    * `--projection` tree walk (search/Projection.cpp:30-95): each pattern is

@@ -21,7 +21,25 @@ object GraftInternals {
    * O(matching schemas), not O(catalog)).
    */
   def foldedValue(c: Column): Option[Any] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, Literal, Not, Or}
+    // Column combinators (&&, ||, !, coalesce) build UNRESOLVED function
+    // nodes in Spark 4's Connect-compatible Column API; rewrite the boolean
+    // ones to their resolved Catalyst forms so the short-circuits below see
+    // them (without this, `pred && lit(false)` arrives as 'and(...) and
+    // never folds).
+    def norm(e: Expression): Expression = e match {
+      case f: UnresolvedFunction =>
+        (f.nameParts.map(_.toLowerCase).mkString("."),
+          f.arguments.map(norm)) match {
+          case ("and", Seq(l, r)) => And(l, r)
+          case ("or", Seq(l, r)) => Or(l, r)
+          case ("not", Seq(x)) => Not(x)
+          case ("coalesce", args) => Coalesce(args)
+          case (_, args) => f.copy(arguments = args)
+        }
+      case other => other.mapChildren(norm)
+    }
     def simp(e: Expression): Expression = e match {
       case And(l, r) =>
         (simp(l), simp(r)) match {
@@ -55,12 +73,12 @@ object GraftInternals {
               } => firstNonNull
           case _ => Coalesce(cs)
         }
-      case other if other.foldable =>
+      case other if scala.util.Try(other.foldable).getOrElse(false) =>
         scala.util.Try(Literal.create(other.eval(null), other.dataType))
           .getOrElse(other)
       case other => other
     }
-    simp(expression(c)) match {
+    simp(norm(expression(c))) match {
       case Literal(v, _) => Some(v)
       case _ => None
     }

@@ -299,6 +299,46 @@ class ClpCatalogSpec extends SparkSpecBase {
       tags = Some(Seq("prod"))).count() == 0)
   }
 
+  test("json fleet: column-set prune opens only archives carrying the queried column") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cat-cols").toString
+    // two slices with disjoint MPT shapes: arch_0 has {a, k}, arch_1 has
+    // {b: {lang}, k} — the reference's column index (IndexManager.cpp) lets
+    // a fleet planner skip archives lacking a queried column entirely
+    val jsonl = spark.range(20).select(col("id"),
+      when(col("id") % 2 === 0,
+        concat(lit("{\"a\":"), col("id").cast("string"), lit(",\"k\":1}")))
+        .otherwise(lit("{\"b\":{\"lang\":\"en\"},\"k\":2}")).as("json"))
+    ClpCatalog.ingestJson(spark, jsonl, "json", col("id") % 2, out,
+      options = graft.pipeline.JsonPipeline.Options(orderCol = Some("id")))
+    def adm(q: String) =
+      ClpCatalog.admissibleArchivesForKql(spark, out, q, None, None)
+    assert(adm("a: 4") == Seq("arch_0"))
+    assert(adm("*.lang: en") == Seq("arch_1"))
+    assert(adm("k: *").size == 2)
+    // NOT on an absent column is still a definitive miss (SchemaMatch folds
+    // it to false, negated or not) — same decision the per-archive compile
+    // makes, lifted to catalog metadata
+    assert(adm("NOT a: 4") == Seq("arch_0"))
+    assert(adm("a: 4 AND b.lang: en").isEmpty)
+    assert(adm("a: 4 OR b.lang: en").size == 2)
+    // the pruned fleet search answers exactly the matching archive's rows
+    val res = ClpCatalog.searchKql(spark, out, "*.lang: en", Seq("k"))
+    assert(res.count() == 10 && res.collect().forall(_.getLong(0) == 2L))
+    // conservatism fuzz: pruned fleet ≡ exhaustive per-archive union on
+    // every query shape, absent columns and negations included
+    for (q <- Seq("a: *", "k > 1", "NOT k: 2", "b.lang: e*", "nope: 1",
+        "a < 6 OR k: 2", "NOT (a: 2 OR b.lang: en)")) {
+      val pruned = ClpCatalog.searchKql(spark, out, q, Seq("k")).count()
+      val exhaustive = Seq("arch_0", "arch_1").map(id =>
+        graft.pipeline.JsonPipeline
+          .kqlSearch(spark, s"$out/archives/$id", q, Seq("k")).count()).sum
+      assert(pruned == exhaustive, s"query: $q")
+    }
+    // a null summary (text archives, pre-columns catalogs) never column-prunes
+    assert(ClpCatalog.admissibleArchivesForKql(spark, catalogDir, "nope: 1",
+      None, None).size == 4)
+  }
+
   test("dataset namespaces: registry, scoped search, unknown dataset refused") {
     val root = java.nio.file.Files.createTempDirectory("graft-cat-ds").toString
     assert(ClpCatalog.datasets(spark, root).isEmpty)

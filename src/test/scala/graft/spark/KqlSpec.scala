@@ -112,4 +112,38 @@ class KqlSpec extends SparkSpecBase {
       col("event_type") === "error").count()
     assert(n == exp && n > 0)
   }
+
+  test("leafSummary/couldMatchLeaves: fleet prune agrees with compile's fold") {
+    import org.apache.spark.sql.types._
+    // nasty field names: the summary encoding must round-trip dots, colons,
+    // and backslashes inside segments (all legal JSON keys)
+    val schema = StructType(Seq(
+      StructField("plain", LongType),
+      StructField("do.t", StringType),
+      StructField("co:lon", StringType),
+      StructField("back\\slash", StringType),
+      StructField("nested", StructType(Seq(StructField("lang", StringType)))),
+      StructField("arr", ArrayType(StructType(Seq(StructField("x", LongType)))))))
+    val summary = KqlCompiler.leafSummary(schema)
+    def could(q: String) =
+      KqlCompiler.couldMatchLeaves(Kql.parse(q).toOption.get, summary)
+    assert(could("plain: 1") && could("nested.lang: en") && could("*.lang: x") &&
+      could("arr.x: 1") && !could("nope: 1") && !could("NOT nope: 1") &&
+      !could("plain: 1 AND nope: 2") && could("plain: 1 OR nope: 2"))
+    // conservatism contract vs the REAL per-schema resolution: whenever the
+    // summary prunes, compile must fold the predicate to a non-true constant
+    // on the same schema (no false negatives, by construction — both sides
+    // run the same namespaceOk/pathMatches walk)
+    for (q <- Seq("plain: 1", "nope: 1", "NOT nope: 1", "do\\.t: v", "do: v",
+        "t: v", "co\\:lon: v", "back\\\\slash: v", "*.x: 3", "arr.x > 2",
+        "plain: 1 AND nope: 2", "plain: 1 OR nope: 2",
+        "NOT (plain: 1 OR nope: 2)", "nested.lang: a AND NOT do\\.t: b")) {
+      val ast = Kql.parse(q).toOption.get
+      if (!could(q)) {
+        val folded = org.apache.spark.sql.GraftInternals
+          .foldedValue(KqlCompiler.compile(ast, schema))
+        assert(folded.exists(_ != true), s"summary pruned but compile didn't fold: $q")
+      }
+    }
+  }
 }
