@@ -1147,6 +1147,26 @@ object GraftQueries {
           countDistinct(col("text")).as("n_uniq"))
         .orderBy("lang", "source")
     }),
+    "corpus_stats_approx" -> ((s, d) => {
+      // the 100 TB datasheet plan GATED, not just documented: countDistinct's
+      // Expand + double shuffle swapped for approx_count_distinct (HLL++,
+      // rsd 5%) — one partial-aggregating pass, mergeable sketch, no
+      // per-group value buffering (PlanQualitySpec asserts the approx plan
+      // carries no Expand and exactly one agg exchange). Accuracy is part of
+      // the gate: HLL++ is deterministic (fixed hash, no sampling), so
+      // `hll_ok` — each group's estimate within 15% of the exact count,
+      // compared in integer math — is oracle-checkable.
+      val docs = t(s, d, "documents")
+      val exact = docs.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_uniq"))
+      val hll = docs.groupBy("lang", "source").agg(
+        approx_count_distinct(col("text"), 0.05).as("n_uniq_hll"))
+      exact.join(hll, Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_uniq"),
+          (abs(col("n_uniq_hll") - col("n_uniq")) * 100 <= col("n_uniq") * 15)
+            .cast("long").as("hll_ok"))
+        .orderBy("lang", "source")
+    }),
     "text_rep_ratio" -> ((s, d) => {
       // within-doc repetition signal (the Gopher-style repetition filter):
       // duplicate 3-gram fraction per doc, integer-exact — flag_rep is
@@ -1530,6 +1550,35 @@ object GraftQueries {
           round(expr("percentile(n_tok, 0.5D)"), 4).as("p50"),
           round(expr("percentile(n_tok, 0.9D)"), 4).as("p90"),
           round(expr("percentile(n_tok, 0.99D)"), 4).as("p99"))
+    }),
+    "text_length_stats_approx" -> ((s, d) => {
+      // the 100 TB percentile swap GATED: approx_percentile (Greenwald-
+      // Khanna quantile summary, accuracy 1000 ⇒ rank error ≤ 0.1%) next to
+      // the exact interpolated percentiles. The sketch's merge order varies
+      // with task scheduling, so its VALUE is not a stable oracle — its
+      // rank-error CONTRACT is: each approx quantile must land between the
+      // exact percentiles ±5 points (p99's upper bound is the max), true on
+      // every run by the GK guarantee, checked here and recomputed exactly
+      // by the oracle for the exact columns.
+      val nTok = size(split(col("text"), " ")).cast("long")
+      t(s, d, "documents")
+        .select(nTok.as("n_tok"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tok, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(n_tok, 0.9D)"), 4).as("p90"),
+          round(expr("percentile(n_tok, 0.99D)"), 4).as("p99"),
+          expr("percentile(n_tok, array(0.45D, 0.55D, 0.85D, 0.95D, 0.98D))")
+            .as("bnd"),
+          expr("approx_percentile(n_tok, array(0.5D, 0.9D, 0.99D), 1000)")
+            .as("ap"),
+          max(col("n_tok")).as("mx"))
+        .select(col("n_docs"), col("p50"), col("p90"), col("p99"),
+          (col("ap")(0) >= col("bnd")(0) && col("ap")(0) <= col("bnd")(1))
+            .cast("long").as("ok_p50"),
+          (col("ap")(1) >= col("bnd")(2) && col("ap")(1) <= col("bnd")(3))
+            .cast("long").as("ok_p90"),
+          (col("ap")(2) >= col("bnd")(4) && col("ap")(2) <= col("mx"))
+            .cast("long").as("ok_p99"))
     }),
 
     // ---- similarity search ----
@@ -2490,6 +2539,12 @@ object GraftQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(DISTINCT text) AS n_uniq
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "corpus_stats_approx" ->
+      // the exact columns are recomputed; hll_ok is Spark's own
+      // accuracy certificate (HLL++ deterministic, bound in integer math)
+      """SELECT lang, source, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_uniq, CAST(1 AS BIGINT) AS hll_ok
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_classifier_score" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
          |f AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-1),
@@ -2575,6 +2630,16 @@ object GraftQueries {
         |  round(quantile_cont(n_tok, 0.5), 4) AS p50,
         |  round(quantile_cont(n_tok, 0.9), 4) AS p90,
         |  round(quantile_cont(n_tok, 0.99), 4) AS p99
+        |FROM n""".stripMargin,
+    "text_length_stats_approx" ->
+      // exact percentiles recomputed; ok_* are Spark's rank-error
+      // certificates for the GK sketch (guaranteed true at ε=0.1%)
+      """WITH n AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+        |SELECT count(*) AS n_docs, round(quantile_cont(n_tok, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_tok, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_tok, 0.99), 4) AS p99,
+        |  CAST(1 AS BIGINT) AS ok_p50, CAST(1 AS BIGINT) AS ok_p90,
+        |  CAST(1 AS BIGINT) AS ok_p99
         |FROM n""".stripMargin,
     "corpus_filter_chain" ->
       s"""$sqlShinglesCte,

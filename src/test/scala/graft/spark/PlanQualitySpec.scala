@@ -222,6 +222,34 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Window"))
   }
 
+  test("corpus_stats approx swap: HLL plan drops Expand and the distinct's extra shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the pure 100 TB datasheet plan (what corpus_stats_approx certifies):
+    // one partial/final agg over mergeable sketches — no Expand, exactly one
+    // exchange; the exact countDistinct plan needs Expand or a second agg level
+    // count Exchange NODES in the AQE final-plan tree (the formatted dump
+    // repeats each node in the details section and the initial plan)
+    def shuffles(p: String): Int = {
+      val tree =
+        if (p.contains("== Final Plan ==") && p.contains("== Initial Plan =="))
+          p.substring(p.indexOf("== Final Plan =="), p.indexOf("== Initial Plan =="))
+        else p.takeWhile(_ != '(') // tree section precedes node details
+      "\\bExchange \\(".r.findAllIn(tree).size
+    }
+    val hll = executedPlan(docs.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col("text"), 0.05).as("n_uniq")))
+    assert(!hll.contains("Expand"), "HLL plan must not expand rows")
+    assert(shuffles(hll) == 1, "HLL plan is one shuffle")
+    val exact = executedPlan(docs.groupBy("lang", "source").agg(
+      count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_uniq")))
+    assert(exact.contains("Expand") ||
+      "HashAggregate".r.findAllIn(exact).size >
+        "HashAggregate".r.findAllIn(hll).size,
+      "exact distinct should cost strictly more plan than the sketch")
+  }
+
   test("logs_spike_detect: two agg passes + broadcast moments, no window") {
     val p = executedPlan(graft.GraftQueries.queries("logs_spike_detect")(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
