@@ -166,7 +166,10 @@ object McpServer {
           // nothing left can displace even the cut row
           done = true
         } else {
-          val hits = batch.map { case (id, _, _) =>
+          // branch plans build concurrently (the per-archive probe jobs are
+          // the fleet fixed cost — see ClpCatalog.parallelPlans)
+          val hits = graft.pipeline.ClpCatalog.parallelPlans(
+            spark, batch.map(_._1)) { id =>
             val engine = new graft.search.ClpSearch(spark, s"$fleetDir/archives/$id")
             graft.search.KqlCompiler.filter(
               engine.withDecodedText(engine.routed), kql)

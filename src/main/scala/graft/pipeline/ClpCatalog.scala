@@ -292,11 +292,37 @@ object ClpCatalog {
         "narrow the query with a time range or more specific tokens, or use " +
         "ClpCatalog.searchBatched for a bounded-plan full-fleet scan")
     if (admissible.isEmpty) graft.search.ClpSearch.emptyResults(spark)
-    else admissible.map { id =>
+    else parallelPlans(spark, admissible) { id =>
       new graft.search.ClpSearch(spark, s"$outDir/archives/$id")
         .search(query, caseSensitive, tsLo, tsHi)
     }.reduce(_ unionAll _)
   }
+
+  /** Builds per-archive plan branches CONCURRENTLY, preserving order. Plan
+    * construction is the fleet search's measured fixed cost — each branch
+    * runs a few independent driver-blocking dictionary/stats probe jobs
+    * (~0.5 s/archive serial, `tools/FleetScaleProbe`), and Spark's scheduler
+    * accepts jobs from multiple threads — so a bounded pool overlaps them;
+    * this is the Spark analog of the reference dispatching per-archive
+    * tasks to parallel workers (`query_scheduler.py:508-566`). Branch plans
+    * and result contents are identical to the serial build ([[search]] /
+    * [[searchBatched]] gates prove batched ≡ union ≡ oracle); the session
+    * is pinned active on each pool thread so thread-local SQLConf reads
+    * resolve to the session's conf, not defaults. */
+  private[graft] def parallelPlans[A](spark: SparkSession, ids: Seq[String],
+                                      width: Int = 8)(f: String => A): Seq[A] =
+    if (ids.size <= 1) ids.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(width, ids.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.traverse(ids)(id =>
+          Future(org.apache.spark.sql.GraftInternals.withActive(spark)(f(id)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
 
   /** Full-fleet search with BOUNDED driver plans: admissible archives are
     * processed in fixed-size batches — each batch is one ≤`batchSize`-branch
@@ -326,7 +352,7 @@ object ClpCatalog {
     graft.search.ClpSearch.emptyResults(spark)
       .write.mode("overwrite").parquet(dir)
     admissible.grouped(batchSize).foreach { batch =>
-      batch.map { id =>
+      parallelPlans(spark, batch) { id =>
         new graft.search.ClpSearch(spark, s"$outDir/archives/$id")
           .search(query, caseSensitive, tsLo, tsHi)
       }.reduce(_ unionAll _)
@@ -517,7 +543,7 @@ object ClpCatalog {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(selectCols.filterNot(_.contains("*"))
           .map(c => StructField(c, StringType))))
-    } else widenUnion(admissible.map(id =>
+    } else widenUnion(parallelPlans(spark, admissible)(id =>
       JsonPipeline.kqlSearch(spark, s"$outDir/archives/$id", kql, selectCols,
         tsLo, tsHi)))
   }

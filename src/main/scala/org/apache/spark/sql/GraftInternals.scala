@@ -11,6 +11,14 @@ object GraftInternals {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Runs `body` with `spark` as the thread's active session. Plans built on
+    * a non-main driver thread otherwise read the DEFAULT SQLConf (active
+    * session and SQLConf are thread-locals), silently dropping session conf
+    * like spark.sql.shuffle.partitions — required by the fleet search's
+    * parallel per-archive plan construction. */
+  def withActive[A](spark: SparkSession)(body: => A): A =
+    spark.asInstanceOf[classic.SparkSession].withActive(body)
+
   /**
    * Driver-side constant value of a predicate Column after short-circuit
    * boolean simplification, or None when it does not fold. Catalyst's own
