@@ -153,6 +153,33 @@ object GraftQueries {
     })
   }
 
+  /** The reference's OWN unstructured parser fixture (read in place, never
+    * copied): multiline event, static text, dict/int/float variables, a
+    * backslashed path, and a relative (`%#3`) timestamp line — the exact
+    * file its parser suite ingests (components/core/tests/test_log_files/
+    * log.txt). The fixture gates split it with [[RawLogIngest]], route it
+    * through the full [[ClpPipeline]], and archive it once per Verify run. */
+  private val FixtureLogPath =
+    "/root/reference/components/core/tests/test_log_files/log.txt"
+  /** Wildcard queries for the fixture search gate — all pure-substring
+    * (`*lit*`) shapes so the DuckDB oracle is an exact `contains()` with no
+    * LIKE-metacharacter escaping concerns; `\\` is the wildcard language's
+    * escaped literal backslash. */
+  private val FixtureQueries = Seq(
+    "*MyDog123*", "* 1.9 GB *", "*statictext123*", "*123.123*",
+    "*Static Text*", "*APet4123\\\\test.txt*", "*no such token here*")
+  private def fixtureArchive(s: SparkSession): String = archiveCache.synchronized {
+    archiveCache.getOrElseUpdate("__reference_fixture__", {
+      withClp(s)
+      val out = java.nio.file.Files.createTempDirectory("graft-ref-fixture").toString
+      val turns = graft.pipeline.RawLogIngest.asTurns(
+        graft.pipeline.RawLogIngest.read(s, FixtureLogPath))
+      graft.pipeline.ClpPipeline.run(s, turns,
+        graft.pipeline.ClpPipeline.Config(out, maxSinks = 2, saltParts = 2))
+      out
+    })
+  }
+
   /** The IVF train→index→probe→score pipeline shared by the `knn_ivf`
     * (nProbe=2, pruned) and `knn_ivf_all` (nProbe=nlist ≡ brute force)
     * entries — only the probed cell set differs. Both gates run `iters = 0`:
@@ -815,6 +842,47 @@ object GraftQueries {
       graft.pipeline.RawLogIngest.read(s, logDir.toString)
         .select(col("file"), col("event_idx"), col("epoch_ms"), md5(col("text")).as("fp"))
         .orderBy("file", "event_idx")
+    }),
+    "raw_ingest_reference_fixture" -> ((s, _) => {
+      // P1-P3 + P4/P5 + O3 on REFERENCE-AUTHORED text: split the parser
+      // suite's own log.txt on the timestamp-boundary rule, encode through
+      // the full pipeline, decode via Extract, and re-splice the formatted
+      // timestamp (ts_pattern_format = P3, the byte-exact inverse). `fp`
+      // proves the excised event text survives encode→decode byte-exact;
+      // `rt_fp` proves the ORIGINAL file lines reconstruct byte-exact
+      // through split→format. The oracle re-derives the boundary split
+      // from the raw file bytes in SQL (read_text + the fixture's two
+      // pattern shapes: absolute ms timestamps and the leading-digit-run
+      // relative pattern), so no expected value is transcribed anywhere.
+      withClp(s)
+      val ing = graft.pipeline.RawLogIngest.read(s, FixtureLogPath)
+      val ext = graft.search.Extract(s, fixtureArchive(s))
+        .select(col("turn_idx"), col("text").as("dtext"))
+      ing.join(ext, col("event_idx") === col("turn_idx"))
+        .select(col("event_idx"), col("epoch_ms"),
+          md5(col("dtext")).as("fp"),
+          md5(concat(
+            col("dtext").substr(lit(1), col("ts_begin")),
+            when(col("pattern_id") >= 0,
+              ts_pattern_format(col("pattern_id"), col("epoch_ms")))
+              .otherwise(lit("")),
+            col("dtext").substr(col("ts_begin") + 1, length(col("dtext")))))
+            .as("rt_fp"))
+        .orderBy("event_idx")
+    }),
+    "clp_search_reference_fixture" -> ((s, _) => {
+      // The full search lifecycle (Q1-Q5, P7, P12-P13, J1) over the
+      // reference's own fixture: each wildcard query runs the real dict
+      // probe → encoded-domain match → decode-verify path against the
+      // archived fixture; the oracle is a substring scan over the
+      // independently re-split events. Queries cover a dict var, a
+      // float var inside static text, an int+unit span, pure static
+      // text, a backslashed path token, and a guaranteed miss.
+      withClp(s)
+      val engine = new graft.search.ClpSearch(s, fixtureArchive(s))
+      FixtureQueries.map { q =>
+        engine.search(q).select(lit(q).as("q"), col("turn_idx").as("event_idx"))
+      }.reduce(_.unionAll(_)).orderBy("q", "event_idx")
     }),
     // ---- relational core (A1/A4/P9/P10/P11, J5, O1-O3, W1-W2) ----
     "q1_agg" -> ((s, d) => {
@@ -2075,6 +2143,36 @@ object GraftQueries {
       |s AS (SELECT doc_id, list_transform(generate_series(1, len(words)-2),
       |        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh FROM w)""".stripMargin
 
+  /** Independent SQL re-derivation of the reference fixture's event split:
+    * read the raw file bytes (read_text), mark boundary lines with the
+    * fixture's two pattern shapes (absolute `Y-m-d H:M:S.mmm` and the
+    * reference's leading-digit-run relative `%#3` — no leading zero), group
+    * continuations under the preceding boundary, excise the matched span,
+    * and keep both the excised text and the verbatim original lines. */
+  private val sqlFixtureEventsCte: String =
+    s"""WITH raw AS (SELECT string_split(content, chr(10)) AS a
+       |  FROM read_text('$FixtureLogPath')),
+       |fl AS (SELECT unnest(generate_series(1, len(a))) AS i,
+       |  unnest(a) AS line, len(a) AS n FROM raw),
+       |fx AS (SELECT i, line,
+       |  regexp_matches(line, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}') AS abs_ts,
+       |  (NOT regexp_matches(line, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}')
+       |    AND regexp_matches(line, '^[1-9][0-9]*')) AS rel_ts
+       |  FROM fl WHERE NOT (line = '' AND i = n)),
+       |fg AS (SELECT *, CAST(sum(CASE WHEN abs_ts OR rel_ts THEN 1 ELSE 0 END)
+       |    OVER (ORDER BY i) - 1 AS INT) AS event_idx FROM fx),
+       |fe AS (SELECT event_idx,
+       |  max(CASE WHEN abs_ts THEN epoch_ms(strptime(regexp_extract(line,
+       |        '^([0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3})', 1),
+       |        '%Y-%m-%d %H:%M:%S.%g'))
+       |      WHEN rel_ts THEN CAST(regexp_extract(line, '^([0-9]+)', 1) AS BIGINT) END) AS epoch_ms,
+       |  string_agg(CASE
+       |      WHEN abs_ts THEN regexp_replace(line, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}', '')
+       |      WHEN rel_ts THEN regexp_replace(line, '^[0-9]+', '')
+       |      ELSE line END, chr(10) ORDER BY i) AS text,
+       |  md5(string_agg(line, chr(10) ORDER BY i)) AS rt_fp
+       |  FROM fg GROUP BY event_idx)""".stripMargin
+
   /** Shared SELECT head for the search-gate oracles. */
   private def sqlSearchSelect(where: String): String =
     s"""SELECT $sqlSearchConv AS conv_id, CAST(doc_id // 50 AS INT) AS turn_idx
@@ -2259,6 +2357,23 @@ object GraftQueries {
         |  1704067200000 + doc_id * 1000 AS epoch_ms,
         |  md5(' ' || text) AS fp
         |FROM documents ORDER BY file, event_idx""".stripMargin,
+    "raw_ingest_reference_fixture" ->
+      s"""$sqlFixtureEventsCte
+         |SELECT event_idx, epoch_ms, md5(text) AS fp, rt_fp
+         |FROM fe ORDER BY event_idx""".stripMargin,
+    "clp_search_reference_fixture" ->
+      s"""$sqlFixtureEventsCte,
+         |fq AS (SELECT * FROM (VALUES
+         |  ('*MyDog123*', 'MyDog123'),
+         |  ('* 1.9 GB *', ' 1.9 GB '),
+         |  ('*statictext123*', 'statictext123'),
+         |  ('*123.123*', '123.123'),
+         |  ('*Static Text*', 'Static Text'),
+         |  ('*APet4123\\\\test.txt*', 'APet4123\\test.txt'),
+         |  ('*no such token here*', 'no such token here')) v(q, needle))
+         |SELECT fq.q AS q, fe.event_idx
+         |FROM fq JOIN fe ON contains(fe.text, fq.needle)
+         |ORDER BY q, event_idx""".stripMargin,
     "dedup_minhash_sig" ->
       s"""$sqlShinglesCte
          |SELECT doc_id,

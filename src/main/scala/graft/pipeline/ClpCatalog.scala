@@ -139,6 +139,20 @@ object ClpCatalog {
     * EXCLUDED by a tag-scoped search, it can only be reached untagged).
     * Decided from catalog metadata alone; no archive directory opens for a
     * pruned archive. */
+  /** The last fleet-prune decision: catalog size vs archives admitted —
+    * the reference's scheduler logs the same numbers when it narrows the
+    * archive list for a query (`query_scheduler.py:417-419` tag/time
+    * filters). [[search]]/[[searchBatched]] stamp it into the Spark job
+    * description, so the prune ratio rides the lineage of every job the
+    * search triggers (UI / event logs); tests read it directly. */
+  final case class PruneStats(total: Int, admissible: Int) {
+    def pruned: Int = total - admissible
+    def ratio: Double = if (total == 0) 0.0 else pruned.toDouble / total
+    override def toString: String =
+      f"$admissible/$total archives admitted (prune ratio $ratio%.3f)"
+  }
+  @volatile private[graft] var lastPruneStats: Option[PruneStats] = None
+
   def admissibleArchivesFor(spark: SparkSession, outDir: String, query: String,
                             caseSensitive: Boolean,
                             tsLo: Option[java.sql.Timestamp],
@@ -154,7 +168,8 @@ object ClpCatalog {
       (if (hasTags) Seq("tags") else Nil)
     val bloomAt = selected.indexOf("dict_bloom")
     val tagsAt = selected.indexOf("tags")
-    cat.select(selected.map(col): _*).collect().toSeq.collect {
+    val rows = cat.select(selected.map(col): _*).collect().toSeq
+    val admitted = rows.collect {
       case r if {
         val (b, e) = (r.getTimestamp(1), r.getTimestamp(2))
         val tsOk = b == null || e == null ||
@@ -169,6 +184,8 @@ object ClpCatalog {
         tsOk && bloomOk && tagOk
       } => r.getString(0)
     }
+    lastPruneStats = Some(PruneStats(rows.size, admitted.size))
+    admitted
   }
 
   /** Fleet retention sweep — the reference's archive garbage collector
@@ -287,6 +304,8 @@ object ClpCatalog {
              tags: Option[Seq[String]] = None): DataFrame = {
     val admissible =
       admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf, tags)
+    lastPruneStats.foreach(st =>
+      spark.sparkContext.setJobDescription(s"ClpCatalog.search($query): $st"))
     require(admissible.size <= maxFanout,
       s"query admits ${admissible.size} archives (> maxFanout=$maxFanout); " +
         "narrow the query with a time range or more specific tokens, or use " +
@@ -347,6 +366,8 @@ object ClpCatalog {
       java.nio.file.Files.createTempDirectory("graft-fleet-search").toString)
     val admissible =
       admissibleArchivesFor(spark, outDir, query, caseSensitive, tsLo, tsHi, asOf, tags)
+    lastPruneStats.foreach(st =>
+      spark.sparkContext.setJobDescription(s"ClpCatalog.searchBatched($query): $st"))
     // seed the dir with the (possibly empty) result schema so an all-pruned
     // fleet still answers an empty frame, not a missing-path error
     graft.search.ClpSearch.emptyResults(spark)

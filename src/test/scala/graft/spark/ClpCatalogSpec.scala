@@ -171,6 +171,12 @@ class ClpCatalogSpec extends SparkSpecBase {
       caseSensitive = true, None, None) == Seq("arch_2"))
     // the pruned search still answers exactly (100 turns carry tag2)
     assert(ClpCatalog.search(spark, bloomDir, "* tag2 *").count() == 100)
+    // the prune decision is observable: 4 catalog entries, 1 admitted — and
+    // the search stamped it into the Spark job description (lineage)
+    assert(ClpCatalog.lastPruneStats.contains(ClpCatalog.PruneStats(4, 1)))
+    assert(ClpCatalog.lastPruneStats.get.ratio == 0.75)
+    assert(spark.sparkContext.getLocalProperty("spark.job.description")
+      .contains("1/4 archives admitted"))
     // a token in no archive prunes the whole fleet — zero archives open
     assert(ClpCatalog.admissibleArchivesFor(spark, bloomDir, "* tag9 *",
       caseSensitive = true, None, None).isEmpty)
