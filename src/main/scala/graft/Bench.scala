@@ -64,6 +64,36 @@ object Bench {
     s
   }
 
+  /**
+   * Pure-CPU burn at `threads` pinned workers for `millis`; returns aggregate
+   * iterations/sec. This is the in-artifact hardware calibration: the sandbox
+   * hypervisor throttles sustained multithreaded load in multi-minute storms
+   * (identical runs vary up to 10x), so each scaling rep gets an adjacent
+   * burn sample. A clean window reads hw_efficiency ~0.93 at 2→8 threads
+   * (measured externally, BENCH/BASELINE.md); a storm shows up as a
+   * depressed/inflated burn sample next to the rep it poisoned, making the
+   * pipeline efficiency number auditable from the JSON alone.
+   */
+  private def burn(threads: Int, millis: Long): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val ws = (0 until threads).map { i =>
+      new Thread(() => {
+        var x = 0x9e3779b97f4a7c15L + i
+        var n = 0L
+        while (!stop.get) {
+          var k = 0
+          while (k < 4096) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; k += 1 }
+          n += 4096 + (x & 1) // fold x in so the loop can't be dead-code-eliminated
+        }
+        counts.set(i, n)
+      })
+    }
+    val t0 = System.nanoTime()
+    ws.foreach(_.start()); Thread.sleep(millis); stop.set(true); ws.foreach(_.join())
+    (0 until threads).map(counts.get).sum / ((System.nanoTime() - t0) / 1e9)
+  }
+
   /** One full pipeline run; returns wall seconds (input already on disk). */
   private def runPipeline(spark: SparkSession, turnsDir: String, outDir: String,
                           limit: Long = 0L): Double = {
@@ -143,11 +173,17 @@ object Bench {
     // best-of-N per leg is the capability ----
     val hiTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val loTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val burnHi = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val burnLo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val burnMs = sys.env.getOrElse("SPARK_GRAFT_BURN_MS", "8000").toLong
+    burn(cpusHi, 2000) // JIT warm-up, discarded
     for (i <- 1 to reps) {
+      burnHi += burn(cpusHi, burnMs)
       spark = session(cpusHi)
       hiTimes += runPipeline(spark, turnsDir, s"$work/out_hi_$i")
       spark.stop()
       if (i <= repsLo) {
+        burnLo += burn(cpusLo, burnMs)
         spark = session(cpusLo)
         loTimes += runPipeline(spark, turnsDir, s"$work/out_lo_$i")
         spark.stop()
@@ -159,6 +195,9 @@ object Bench {
     val thrLo = nTurns / secLo
 
     val efficiency = thrHi / ((cpusHi.toDouble / cpusLo) * thrLo)
+    // Hardware ceiling measured in THIS window: what a perfectly-parallel,
+    // shuffle-free job could scale at on this box right now.
+    val hwEfficiency = burnHi.max / ((cpusHi.toDouble / cpusLo) * burnLo.max)
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
 
@@ -168,7 +207,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val repsHiJson = hiTimes.map(t => f"$t%.2f").mkString("[", ",", "]")
     val repsLoJson = loTimes.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val burnHiJson = burnHi.map(v => f"${v / 1e6}%.1f").mkString("[", ",", "]")
+    val burnLoJson = burnLo.map(v => f"${v / 1e6}%.1f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"pipeline_turns_per_sec","value":$thrHi%.1f,"unit":"turns/sec","queries":$qs,"query_reps":$qr,"sf":"$sfDir","bench_turns":$nTurns,"pipeline_sec":$secHi%.2f,"scaling":{"cores_lo":$cpusLo,"thr_lo":$thrLo%.1f,"sec_lo":$secLo%.2f,"reps_sec_lo":$repsLoJson,"cores_hi":$cpusHi,"thr_hi":$thrHi%.1f,"sec_hi":$secHi%.2f,"reps_sec_hi":$repsHiJson,"efficiency":$efficiency%.3f}}""")
+      f"""{"metric":"pipeline_turns_per_sec","value":$thrHi%.1f,"unit":"turns/sec","queries":$qs,"query_reps":$qr,"sf":"$sfDir","bench_turns":$nTurns,"pipeline_sec":$secHi%.2f,"scaling":{"cores_lo":$cpusLo,"thr_lo":$thrLo%.1f,"sec_lo":$secLo%.2f,"reps_sec_lo":$repsLoJson,"cores_hi":$cpusHi,"thr_hi":$thrHi%.1f,"sec_hi":$secHi%.2f,"reps_sec_hi":$repsHiJson,"efficiency":$efficiency%.3f,"calibration":{"burn_miters_per_sec_lo":$burnLoJson,"burn_miters_per_sec_hi":$burnHiJson,"hw_efficiency":$hwEfficiency%.3f}}}""")
   }
 }
