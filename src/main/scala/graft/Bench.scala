@@ -74,7 +74,7 @@ object Bench {
    * depressed/inflated burn sample next to the rep it poisoned, making the
    * pipeline efficiency number auditable from the JSON alone.
    */
-  private def burn(threads: Int, millis: Long): Double = {
+  private[graft] def burn(threads: Int, millis: Long): Double = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val counts = new java.util.concurrent.atomic.AtomicLongArray(threads)
     val ws = (0 until threads).map { i =>
