@@ -92,8 +92,12 @@ object ClusterBench {
       val burnMs = rest.headOption.map(_.toLong).getOrElse(8000L)
       val spark = session()
       val cores = grantedCores(spark)
-      // 2-core executors (tools/cluster_bench.sh fixes spark.executor.cores)
-      val executors = awaitExecutors(spark, want = cores / 2)
+      // tools/cluster_bench.sh fixes spark.executor.cores, so the expected
+      // executor count is cores.max / executor.cores (2-core executors pair
+      // 1-vs-4 executors; 1-core executors pair 2-vs-8 — the literal
+      // N-vs-4N-executors reading, with cross-process shuffle on BOTH legs)
+      val perExec = spark.conf.getOption("spark.executor.cores").map(_.toInt).getOrElse(2)
+      val executors = awaitExecutors(spark, want = cores / perExec)
       val nTurns = spark.read.parquet(turnsDir).count()
       runPipeline(spark, turnsDir, s"$workDir/warmup", limit = 200000L) // JIT
       // Hardware-health calibration on the (otherwise idle) driver JVM.
