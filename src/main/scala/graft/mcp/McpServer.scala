@@ -55,6 +55,22 @@ object McpServer {
     def searchByKql(kql: String, maxResults: Int): (Seq[LogEvent], Boolean)
   }
 
+  /** Binary UTF-8 comparison — the exact string order Spark's own sorts use
+    * (UTF8String.compareTo), for driver-side merges that must agree with an
+    * executor-side `orderBy`. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Shared collect shape: order `tsCol` newest-first (events without a
     * timestamp sort oldest, mirroring utils.py sort_by_timestamp's -1 key),
     * tie-break on message for deterministic paging, fetch maxResults+1 via
@@ -149,9 +165,23 @@ object McpServer {
         .sortBy(e => (e._3 == null,
           if (e._3 == null) 0L else -e._3.getTime, e._1))
       // merge buffer ordered like collectNewestFirst's global cut:
-      // (ts desc nulls last, msg asc), at most k+1 rows
-      val ord = Ordering.by[LogEvent, (Boolean, Long, String)](ev =>
-        (ev.tsMs.isEmpty, -ev.tsMs.getOrElse(0L), ev.message))
+      // (ts desc nulls last, msg asc), at most k+1 rows. The message leg
+      // compares UTF-8 BYTES, not JVM chars: Spark orders strings by binary
+      // UTF-8 (UTF8String), and Scala's UTF-16 code-unit order disagrees for
+      // supplementary-plane text vs U+E000–U+FFFF — a driver-side sort in
+      // the other order would break the batched ≡ single-union invariant on
+      // ties at the page boundary
+      val ord = new Ordering[LogEvent] {
+        def compare(a: LogEvent, b: LogEvent): Int = {
+          val an = a.tsMs.isEmpty; val bn = b.tsMs.isEmpty
+          if (an != bn) return if (an) 1 else -1
+          if (!an) {
+            val c = java.lang.Long.compare(b.tsMs.get, a.tsMs.get)
+            if (c != 0) return c
+          }
+          utf8Compare(a.message, b.message)
+        }
+      }
       var buf = Vector.empty[LogEvent]
       lastBatchesRun = 0
       val it = ents.grouped(batchSize)
@@ -275,18 +305,14 @@ final class McpServer(backend: McpServer.QueryBackend,
             "message" -> JString("Parse error")))))
       case Right(req) =>
         val method = strOpt(req \ "method").getOrElse("")
-        if (method.startsWith("notifications/")) None
-        else {
-          // a non-notification request missing "id" still gets a response
-          // object WITH an id member: json4s drops JNothing fields at render
-          // time, and a JSON-RPC response without "id" violates the spec —
-          // map the absent id to an explicit null
-          val id = req \ "id" match {
-            case JNothing => JNull
-            case v => v
-          }
-          Some(render(response(id, method, req \ "params")))
-        }
+        // JSON-RPC 2.0: the notification marker is the ABSENT id member, not
+        // the method name — any id-less request MUST NOT be answered ("id":
+        // null is reserved for parse-error responses where the id was
+        // undetectable). Every method on this surface exists only to produce
+        // a response, so an id-less call is dropped rather than executed —
+        // executing it would mutate session page state invisibly.
+        if (method.startsWith("notifications/") || (req \ "id") == JNothing) None
+        else Some(render(response(req \ "id", method, req \ "params")))
     }
   }
 

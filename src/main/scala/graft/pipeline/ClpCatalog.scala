@@ -53,15 +53,21 @@ object ClpCatalog {
     // archive then registers itself through appendEntry — an empty corpus
     // still commits a valid catalog, matching the batch pipeline's
     // empty-input contract (search over it answers zero rows, not an error)
-    val emptyCatalog = spark.range(0).select(
-      lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
-      lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"),
-      lit(null).cast("array<bigint>").as("dict_bloom"),
-      lit(null).cast("array<string>").as("tags"),
-      lit(null).cast("array<string>").as("columns"))
-    LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog)
+    LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog(spark))
     slices.foreach(sl => appendEntry(spark, outDir, s"arch_$sl", tagsFor(sl)))
   }
+
+  /** The zero-row catalog frame that seeds a new fleet (snapshot 1, defines
+    * the table schema). ONE definition — `appendEntry`/`appendJsonEntry`
+    * gate their optional columns on what the committed catalog carries, so
+    * a literal drifting at one ingest site would silently create catalogs
+    * locked out of the corresponding prune forever. */
+  def emptyCatalog(spark: SparkSession): DataFrame = spark.range(0).select(
+    lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
+    lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"),
+    lit(null).cast("array<bigint>").as("dict_bloom"),
+    lit(null).cast("array<string>").as("tags"),
+    lit(null).cast("array<string>").as("columns"))
 
   /** Register one finished archive in the fleet catalog: roll its ts bounds
     * + message count up from its own `sink_stats` (metadata-only, no data
@@ -151,7 +157,14 @@ object ClpCatalog {
     override def toString: String =
       f"$admissible/$total archives admitted (prune ratio $ratio%.3f)"
   }
-  @volatile private[graft] var lastPruneStats: Option[PruneStats] = None
+  // thread-local, not a shared slot: concurrent searches in one JVM (an MCP
+  // fleet server next to a background catalog search) would otherwise
+  // overwrite each other between the prune decision and the job-description
+  // stamp and misattribute the numbers
+  private val lastPruneStatsTl = new ThreadLocal[Option[PruneStats]] {
+    override def initialValue(): Option[PruneStats] = None
+  }
+  private[graft] def lastPruneStats: Option[PruneStats] = lastPruneStatsTl.get()
 
   def admissibleArchivesFor(spark: SparkSession, outDir: String, query: String,
                             caseSensitive: Boolean,
@@ -184,7 +197,7 @@ object ClpCatalog {
         tsOk && bloomOk && tagOk
       } => r.getString(0)
     }
-    lastPruneStats = Some(PruneStats(rows.size, admitted.size))
+    lastPruneStatsTl.set(Some(PruneStats(rows.size, admitted.size)))
     admitted
   }
 
@@ -411,13 +424,7 @@ object ClpCatalog {
         sliced.filter(col("_slice") === sl).drop("_slice"), jsonCol,
         s"$outDir/archives/arch_$sl", metadata, options)
     }
-    val emptyCatalog = spark.range(0).select(
-      lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
-      lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"),
-      lit(null).cast("array<bigint>").as("dict_bloom"),
-      lit(null).cast("array<string>").as("tags"),
-      lit(null).cast("array<string>").as("columns"))
-    LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog)
+    LakeTable.overwrite(spark, s"$outDir/catalog", emptyCatalog(spark))
     slices.foreach(sl => appendJsonEntry(spark, outDir, s"arch_$sl", tagsFor(sl)))
   }
 
@@ -560,10 +567,34 @@ object ClpCatalog {
         "narrow the query with a time range, tags, or more specific columns")
     if (admissible.isEmpty) {
       import org.apache.spark.sql.types._
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(selectCols.filterNot(_.contains("*"))
-          .map(c => StructField(c, StringType))))
+      // type the empty frame from catalog metadata alone (no archive dir
+      // opens — the point of the prune): each archive's stored leaf summary
+      // rebuilds its search-frame schema, selectCols resolve through the
+      // SAME projection walk the real path uses, and per-archive schemas
+      // widen under the same rule — so unioning this frame with a
+      // non-empty window's result of the same query stays type-compatible.
+      // Superset semantics: the universe is ALL cataloged archives (which
+      // archives a non-empty search would have admitted is unknowable
+      // here). Pre-summary catalogs fall back to all-string selectCols.
+      val cat = LakeTable.read(spark, s"$outDir/catalog", asOf)
+      val parts =
+        if (!cat.columns.contains("columns")) Nil
+        else cat.select("columns").collect().toSeq.collect {
+          case r if !r.isNullAt(0) =>
+            val schema = graft.search.KqlCompiler
+              .schemaFromLeafSummary(r.getSeq[String](0))
+            val resolved =
+              graft.search.KqlCompiler.resolveProjection(schema, selectCols)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(resolved.map { case (nm, dt) => StructField(nm, dt) }))
+        }.filter(_.schema.fields.nonEmpty)
+      if (parts.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(selectCols.filterNot(_.contains("*"))
+            .map(c => StructField(c, StringType))))
+      else widenUnion(parts)
     } else widenUnion(parallelPlans(spark, admissible)(id =>
       JsonPipeline.kqlSearch(spark, s"$outDir/archives/$id", kql, selectCols,
         tsLo, tsHi)))

@@ -372,6 +372,35 @@ object KqlCompiler {
     }.distinct.sorted
 
   /**
+   * Best-effort inverse of [[leafSummary]], for typing a result that never
+   * opens an archive (an all-pruned fleet KQL query —
+   * `graft.pipeline.ClpCatalog.searchKql`): rebuilds a StructType whose
+   * [[resolveProjection]] bindings carry the summarized leaf types. The
+   * summary stores only addressable leaves, so two constructs rebuild
+   * approximately: an array-of-structs interior rebuilds as a nested struct
+   * (the array node itself never appears in the summary) and an
+   * array-of-primitives leaf rebuilds as its element type. Both affect only
+   * the TYPES of an empty frame — no values ever flow through them.
+   */
+  private[graft] def schemaFromLeafSummary(summary: Seq[String]): StructType = {
+    val entries = summary.map { e =>
+      val (p, tp) = splitSummaryEntry(e)
+      (Kql.splitColumn(p).map(unescapeSegment),
+        try DataType.fromDDL(tp) catch { case _: Exception => StringType })
+    }.filter(_._1.nonEmpty)
+    def build(items: Seq[(Seq[String], DataType)]): StructType =
+      StructType(items.map(_._1.head).distinct.map { h =>
+        val sub = items.filter(_._1.head == h)
+        val nested = sub.filter(_._1.size > 1)
+        // a name can't be both leaf and parent in a real StructType walk; a
+        // corrupted summary producing one resolves as the struct
+        if (nested.isEmpty) StructField(h, sub.head._2)
+        else StructField(h, build(nested.map { case (p, t) => (p.tail, t) }))
+      })
+    build(entries)
+  }
+
+  /**
    * Plan-time fleet prune over a stored [[leafSummary]]: could `expr` match
    * ANY record drawn from an archive whose addressable leaves are
    * `summary`? Reuses the SAME namespace rule and per-segment wildcard path

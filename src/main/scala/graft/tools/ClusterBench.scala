@@ -97,7 +97,11 @@ object ClusterBench {
       // 1-vs-4 executors; 1-core executors pair 2-vs-8 — the literal
       // N-vs-4N-executors reading, with cross-process shuffle on BOTH legs)
       val perExec = spark.conf.getOption("spark.executor.cores").map(_.toInt).getOrElse(2)
-      val executors = awaitExecutors(spark, want = cores / perExec)
+      // local masters have no separate executor processes — getExecutorInfos
+      // holds only the driver row, so waiting would burn the whole timeout
+      val executors =
+        if (spark.sparkContext.master.startsWith("local")) 0
+        else awaitExecutors(spark, want = cores / perExec)
       val nTurns = spark.read.parquet(turnsDir).count()
       runPipeline(spark, turnsDir, s"$workDir/warmup", limit = 200000L) // JIT
       // Hardware-health calibration on the (otherwise idle) driver JVM.

@@ -73,12 +73,7 @@ object FleetScaleProbe {
       val (_, tBuild) = timed {
         ids.foreach(id => linkTree(tmpl.resolve("arch"),
           fleet.resolve(s"archives/$id")))
-        LakeTable.overwrite(spark, s"$fleet/catalog", spark.range(0).select(
-          lit("").as("archive_id"), lit(null).cast("timestamp").as("begin_ts"),
-          lit(null).cast("timestamp").as("end_ts"), lit(0L).as("n_messages"),
-          lit(null).cast("array<bigint>").as("dict_bloom"),
-          lit(null).cast("array<string>").as("tags"),
-          lit(null).cast("array<string>").as("columns")))
+        LakeTable.overwrite(spark, s"$fleet/catalog", ClpCatalog.emptyCatalog(spark))
         // real registration once (bounds + Bloom from the archive files),
         // then replicate the row under the remaining ids in ONE append —
         // catalog contents are identical to n appendEntry calls

@@ -343,6 +343,22 @@ class ClpCatalogSpec extends SparkSpecBase {
     // a null summary (text archives, pre-columns catalogs) never column-prunes
     assert(ClpCatalog.admissibleArchivesForKql(spark, catalogDir, "nope: 1",
       None, None).size == 4)
+    // an all-pruned query answers an EMPTY frame typed from catalog
+    // metadata alone (no archive dir opens): same column types as a
+    // non-empty window of the same projection — unionable, appendable —
+    // instead of an all-string fabrication
+    val empty = ClpCatalog.searchKql(spark, out, "nope: 1", Seq("k"))
+    val full = ClpCatalog.searchKql(spark, out, "k: *", Seq("k"))
+    assert(empty.count() == 0 && empty.schema == full.schema,
+      s"${empty.schema} vs ${full.schema}")
+    // wildcard projections keep their expansion (the legacy fallback
+    // dropped them): the widened union of every archive's record columns
+    val emptyStar = ClpCatalog.searchKql(spark, out, "nope: 1", Seq("*"))
+    val fullStar = ClpCatalog.searchKql(spark, out, "k: *", Seq("*"))
+    assert(emptyStar.count() == 0)
+    assert(emptyStar.schema.fields.map(f => f.name -> f.dataType).toMap ==
+      fullStar.schema.fields.map(f => f.name -> f.dataType).toMap,
+      s"${emptyStar.schema} vs ${fullStar.schema}")
   }
 
   test("dataset namespaces: registry, scoped search, unknown dataset refused") {

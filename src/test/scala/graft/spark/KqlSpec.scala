@@ -146,4 +146,35 @@ class KqlSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("schemaFromLeafSummary: projection over the rebuild matches the original") {
+    import org.apache.spark.sql.types._
+    // the contract an all-pruned fleet result's typing rests on: for any
+    // projection pattern, resolveProjection over the REBUILT schema binds
+    // the same (name, type) pairs as over the original — for every
+    // non-array construct (array interiors/leaves are the documented
+    // approximation: the summary never stores the array node itself)
+    // fields listed in the summary's sorted order so the rebuild reproduces
+    // the schema EXACTLY (only leaf ORDER is normalized by the summary;
+    // names and types round-trip regardless)
+    val schema = StructType(Seq(
+      StructField("$_ts", LongType),
+      StructField("co:lon", LongType),
+      StructField("d", DoubleType),
+      StructField("do.t", StringType),
+      StructField("flag", BooleanType),
+      StructField("log_event_idx", LongType),
+      StructField("nested", StructType(Seq(
+        StructField("deep", StructType(Seq(StructField("n", LongType)))),
+        StructField("lang", StringType)))),
+      StructField("plain", LongType),
+      StructField("s", StringType)))
+    val rebuilt = KqlCompiler.schemaFromLeafSummary(KqlCompiler.leafSummary(schema))
+    for (pats <- Seq(Seq("*"), Seq("plain"), Seq("nested.lang"), Seq("nested"),
+        Seq("*.lang"), Seq("do\\.t"), Seq("co\\:lon"), Seq("$_ts", "*"),
+        Seq("log_event_idx"), Seq("$_ts", "nested.deep.n", "flag"))) {
+      assert(KqlCompiler.resolveProjection(rebuilt, pats) ==
+        KqlCompiler.resolveProjection(schema, pats), s"patterns: $pats")
+    }
+  }
 }

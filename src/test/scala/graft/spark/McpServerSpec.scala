@@ -191,14 +191,18 @@ class McpServerSpec extends SparkSpecBase {
       == JString(SessionManager.NoCachedResultError))
   }
 
-  test("a non-notification request missing id answers with an explicit null id") {
+  test("an id-less request is a JSON-RPC notification: no response at all") {
     val server = newServer()
-    val resp = server.handle("""{"jsonrpc":"2.0","method":"ping","params":{}}""")
-    assert(resp.isDefined)
-    // the raw wire line must carry an id MEMBER (JSON-RPC requires one on
-    // every response object; json4s silently drops JNothing fields)
-    assert(resp.get.contains(""""id":null"""), resp.get)
-    assert((JsonMethods.parse(resp.get) \ "id") == JNull)
+    // the spec's notification marker is the absent id member, not the
+    // method name — answering one (even with "id":null, which is reserved
+    // for undetectable-id parse errors) violates JSON-RPC 2.0
+    assert(server.handle("""{"jsonrpc":"2.0","method":"ping","params":{}}""").isEmpty)
+    // a parse error still answers, with the explicit null id the spec
+    // reserves for exactly that case — and the id MEMBER must be on the
+    // wire (json4s silently drops JNothing fields)
+    val err = server.handle("""{"jsonrpc":"2.0",""")
+    assert(err.isDefined && err.get.contains(""""id":null"""), err)
+    assert((JsonMethods.parse(err.get) \ "error" \ "code") == JInt(-32700))
   }
 
   // ------------------------------------------------------ clp text backend
@@ -288,6 +292,32 @@ class McpServerSpec extends SparkSpecBase {
     // a budget the newest archive cannot fill alone keeps walking
     val (deep, _) = one.searchByKql("text: *", 25)
     assert(deep.length == 25 && one.lastBatchesRun == 2)
+  }
+
+  test("FleetBackend tie-break uses Spark's UTF-8 order, not JVM UTF-16") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-mcp-fleet-utf8").toString
+    // two archives, one row each, TIED at the same timestamp; the messages
+    // order differently under UTF-8 bytes (Spark sorts) vs UTF-16 code
+    // units (a naive driver-side Ordering.by on String): U+FFFF's UTF-8
+    // (EF BF BF) sorts BEFORE U+10000's (F0 90 80 80), while in UTF-16
+    // U+10000's surrogate D800 sorts before FFFF. The page cut lands inside
+    // the tie, so a driver merge in the wrong order returns a different row
+    // than the single-union path.
+    val m1 = "err ￿z"            // UTF-8 min of the pair
+    val m2 = "err 𐀀a"      // U+10000 — UTF-16 min of the pair
+    val turns = spark.createDataFrame(Seq(
+      ("c0", 0, "user", m1, "t", new java.sql.Timestamp(1704067200000L)),
+      ("c1", 0, "user", m2, "t", new java.sql.Timestamp(1704067200000L))))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    graft.pipeline.ClpCatalog.ingest(spark, turns,
+      substring(col("conv_id"), 2, 1), dir)
+    val one = new McpServer.FleetBackend(spark, dir, batchSize = 1)
+    val big = new McpServer.FleetBackend(spark, dir, batchSize = 100)
+    val (p1, o1) = one.searchByKql("""text: "err*"""", 1)
+    val (p2, o2) = big.searchByKql("""text: "err*"""", 1)
+    assert(o1 && o2 && p1.map(_.message) == p2.map(_.message))
+    assert(p1.head.message == m1, p1.head.message.codePoints().toArray.toSeq)
   }
 
   // ----------------------------------------------------------- unit layers
