@@ -62,6 +62,13 @@ object JsonPipeline {
   final case class Options(
       timestampKey: Option[String] = None,
       structurizeArrays: Boolean = false,
+      /** The clp_s `--retain-float-format` mode (JsonParser.cpp:255-283):
+        * float leaves type as `FormattedFloat` (compact (double, word)
+        * encoding, byte-exact restore) when [[graft.core.FloatFormat]] can
+        * reproduce the literal, else `DictionaryFloat` — the node type (and
+        * so the schema identity) changes exactly like the reference's MPT
+        * does under the flag. Off ⇒ plain `Float` (the clp_s default). */
+      retainFloatFormat: Boolean = false,
       orderCol: Option[String] = None,
       filesPerSchema: Int = 1,
       /** Parquet writer options for the archive outputs — same knob as
@@ -99,9 +106,10 @@ object JsonPipeline {
 
   /** (descriptor, epoch-millis-or-null, array-shape entries) per record —
     * a flat tuple return so Catalyst's encoder codegen stays happy. */
-  private def shapeUdf(timestampKey: Option[String], structurizeArrays: Boolean) =
+  private def shapeUdf(timestampKey: Option[String], structurizeArrays: Boolean,
+                       retainFloatFormat: Boolean = false) =
     udf { (json: String) =>
-      val ls = JsonShape.typedLeaves(json, retainFloatFormat = false,
+      val ls = JsonShape.typedLeaves(json, retainFloatFormat,
         timestampKey, structurizeArrays)
       val descriptor = ls.map(l => s"${l.path}:${l.nodeType}").distinct.sorted.mkString(";")
       val ts: java.lang.Long = timestampKey.flatMap(k =>
@@ -234,7 +242,8 @@ object JsonPipeline {
     // shuffled once on (schema_id, bounded salt) so every schema gets
     // contiguous, boundedly-many files, ordered by log_event_idx within
     val shaped0 = indexed
-      .withColumn("_shape", shapeUdf(options.timestampKey, options.structurizeArrays)(col(jsonCol)))
+      .withColumn("_shape", shapeUdf(options.timestampKey, options.structurizeArrays,
+        options.retainFloatFormat)(col(jsonCol)))
       .select(Seq(
         md5(col("_shape._1")).as("schema_id"),
         col("_shape._1").as("descriptor"),

@@ -9,7 +9,16 @@ class FloatFormatSpec extends AnyFunSuite {
 
   private val formatted = Seq(
     "1.5", "1.500", "0.25", "-3.75", "123.450", "0.0001", "-0.50",
-    "1e9", "2.5e-4", "1.5E+03", "7.25e02", "9.999e-10", "3.14159265358979")
+    "1e9", "2.5e-4", "1.5E+03", "7.25e02", "9.999e-10", "3.14159265358979",
+    // the reference's end-to-end corner cases
+    // (tests/test_log_files/test_valid_formatted_float.jsonl): zeros with
+    // format, negative zero, zero-mantissa scientific, subnormal/max
+    // binary64, long leading-zero forms, correctly-rounded 17th digit
+    "-0.00", "0.000E0", "0E0", "-0E+0000", "1.000E-0", "1.000E-00",
+    "0.0000000000000000E0000", "-0.0000000000000000E0000",
+    "4.9406564584124654E-324", "1.7976931348623157E308",
+    "0.00000000000000000000000000001234567891234500",
+    "0.10000000000000001")
 
   test("FormattedFloat literals restore byte-exactly from (double, format)") {
     formatted.foreach { s =>
@@ -21,9 +30,17 @@ class FloatFormatSpec extends AnyFunSuite {
   }
 
   test("unsupported shapes fall to the dictionary (encode refuses)") {
-    // leading zeros, non-normalized mantissa, >17 significant digits,
-    // huge exponents, junk
-    for (s <- Seq("00.5", "15e2", "1.23456789012345678901", "1e99999", "0e0"))
+    // leading zeros, non-normalized mantissa, >17 significant digits, huge
+    // exponents, junk — and the reference's "invalid formatted float"
+    // classes (test_invalid_formatted_float.jsonl): literals that are not
+    // the correctly-rounded decimal of their own nearest binary64 at their
+    // own precision (18-digit trailing-zero forms, zeros-padded 17th
+    // digit, non-754 scientific forms, zero mantissa with a non-zero
+    // exponent)
+    for (s <- Seq("00.5", "15e2", "1.23456789012345678901", "1e99999", "0e5",
+        "0.00000000000000000", "123456789.123456789", "123456789.123456700",
+        "1.23456789123456700E8", "0.10000000000000000",
+        "1.2345678912345679e+13", "+1.5", "1.", ".5", "120", "1E"))
       assert(FloatFormat.encode(s).isEmpty, s"'$s' should NOT encode")
   }
 
