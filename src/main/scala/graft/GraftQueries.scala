@@ -168,6 +168,40 @@ object GraftQueries {
   private val FixtureQueries = Seq(
     "*MyDog123*", "* 1.9 GB *", "*statictext123*", "*123.123*",
     "*Static Text*", "*APet4123\\\\test.txt*", "*no such token here*")
+  /** The reference's clp-s formatted-float corpora (read in place, never
+    * copied) and the node kind its end-to-end suite requires for every
+    * scalar leaf of each (test-clp_s-end_to_end.cpp:214-292). */
+  private val FixtureJsonDir =
+    "/root/reference/components/core/tests/test_log_files"
+  private val FloatFixtures = Seq(
+    ("test_valid_formatted_float.jsonl", "FormattedFloat"),
+    ("test_invalid_formatted_float.jsonl", "DictionaryFloat"))
+
+  private def fixtureJsonLines(name: String): Seq[String] = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$FixtureJsonDir/$name"))
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').toSeq.filter(_.trim.nonEmpty)
+  }
+
+  /** One `--retain-float-format` archive per float corpus, built once per
+    * Verify run (the corpora are tiny; the cache only avoids re-routing
+    * across gates). */
+  private def jsonFixtureArchive(s: SparkSession, name: String): String =
+    archiveCache.synchronized {
+      archiveCache.getOrElseUpdate(s"__json_fixture_$name", {
+        import s.implicits._
+        val out =
+          java.nio.file.Files.createTempDirectory("graft-ref-jsonfix").toString
+        val df = fixtureJsonLines(name).zipWithIndex
+          .map { case (l, i) => (i.toLong, l) }.toDF("line_idx", "json")
+        graft.pipeline.JsonPipeline.route(s, df, "json", out,
+          options = graft.pipeline.JsonPipeline.Options(
+            orderCol = Some("line_idx"), retainFloatFormat = true))
+        out
+      })
+    }
+
   private def fixtureArchive(s: SparkSession): String = archiveCache.synchronized {
     archiveCache.getOrElseUpdate("__reference_fixture__", {
       withClp(s)
@@ -883,6 +917,31 @@ object GraftQueries {
       FixtureQueries.map { q =>
         engine.search(q).select(lit(q).as("q"), col("turn_idx").as("event_idx"))
       }.reduce(_.unionAll(_)).orderBy("q", "event_idx")
+    }),
+    "jsonl_float_fixture" -> ((s, _) => {
+      // clp-s `--retain-float-format` over the reference's OWN float
+      // corpora (test-clp_s-end_to_end.cpp:214-292): each corpus ingests
+      // through the structured pipeline with the flag on; `kind` is the
+      // record's scalar-leaf typing (valid corpus ⇒ FormattedFloat, invalid
+      // ⇒ DictionaryFloat, bare-array lines ⇒ ''), and `fp` certifies the
+      // archive EXTRACTION equals the raw line under the reference's own
+      // whitespace-stripped compare (literallyCompare) — the oracle
+      // re-reads the same bytes independently with read_text.
+      import s.implicits._
+      val containers = Set("UnstructuredArray", "StructuredArray", "Object")
+      FloatFixtures.map { case (name, _) =>
+        val dir = jsonFixtureArchive(s, name)
+        val kinds = fixtureJsonLines(name).zipWithIndex.map { case (l, i) =>
+          (i.toLong, graft.core.JsonShape
+            .typedLeaves(l, retainFloatFormat = true)
+            .map(_.nodeType).filterNot(containers).distinct.mkString(","))
+        }.toDF("line_idx", "kind")
+        graft.pipeline.JsonPipeline.extract(s, dir)
+          .select(col("log_event_idx").as("line_idx"),
+            md5(regexp_replace(col("json"), " ", "")).as("fp"))
+          .join(kinds, Seq("line_idx"))
+          .select(lit(name).as("file"), col("line_idx"), col("kind"), col("fp"))
+      }.reduce(_.unionAll(_)).orderBy("file", "line_idx")
     }),
     // ---- relational core (A1/A4/P9/P10/P11, J5, O1-O3, W1-W2) ----
     "q1_agg" -> ((s, d) => {
@@ -2374,6 +2433,22 @@ object GraftQueries {
          |SELECT fq.q AS q, fe.event_idx
          |FROM fq JOIN fe ON contains(fe.text, fq.needle)
          |ORDER BY q, event_idx""".stripMargin,
+    "jsonl_float_fixture" ->
+      s"""WITH f AS (SELECT * FROM (VALUES
+         |    ('test_valid_formatted_float.jsonl', 'FormattedFloat'),
+         |    ('test_invalid_formatted_float.jsonl', 'DictionaryFloat')) v(file, want)),
+         |r AS (SELECT f.file, f.want, string_split(t.content, chr(10)) AS a
+         |  FROM f JOIN read_text('$FixtureJsonDir/test_*_formatted_float.jsonl') t
+         |    ON ends_with(t.filename, f.file)),
+         |l AS (SELECT file, want, unnest(a) AS line,
+         |    unnest(generate_series(1, len(a))) AS i FROM r),
+         |e AS (SELECT file, want, line,
+         |    row_number() OVER (PARTITION BY file ORDER BY i) - 1 AS line_idx
+         |  FROM l WHERE trim(line) <> '')
+         |SELECT file, line_idx,
+         |  CASE WHEN contains(line, '[') THEN '' ELSE want END AS kind,
+         |  md5(replace(line, ' ', '')) AS fp
+         |FROM e ORDER BY file, line_idx""".stripMargin,
     "dedup_minhash_sig" ->
       s"""$sqlShinglesCte
          |SELECT doc_id,
