@@ -201,7 +201,15 @@ object JsonPipeline {
             if (t == "UnstructuredArray" || t == "StructuredArray")
               arrShapes.get(full).map(shapeToDataType).getOrElse(StringType)
             else scalarDataType(t)
-          StructField(seg, dt)
+          // the timestamp-key marker survives into the search frame: a
+          // numeric KQL compare on a DateString leaf evaluates the row's
+          // encoded epoch, not the raw string (QueryRunner.cpp
+          // evaluate_epoch_date_filter — see KqlCompiler.leafPredicate)
+          val md =
+            if (t == "DateString")
+              new MetadataBuilder().putBoolean("graftDateEpoch", true).build()
+            else Metadata.empty
+          StructField(seg, dt, nullable = true, metadata = md)
         } else
           // a path is never both leaf and prefix within one record's shape
           StructField(seg, build(deeper.map { case (p, t, f) => (p.tail, t, f) }))

@@ -35,7 +35,8 @@ object KqlCompiler {
   /** One resolved leaf: either a plain (possibly nested-struct) column, or
     * a field reached through ONE array-of-struct hop. */
   private sealed trait Leaf { def dt: DataType }
-  private final case class Scalar(path: Seq[String], dt: DataType) extends Leaf
+  private final case class Scalar(path: Seq[String], dt: DataType,
+      dateEpoch: Boolean = false) extends Leaf
   private final case class ArrayField(arrPath: Seq[String], inner: Seq[String], dt: DataType)
     extends Leaf
   private final case class ArrayElem(arrPath: Seq[String], dt: DataType) extends Leaf
@@ -62,7 +63,7 @@ object KqlCompiler {
           case ArrayType(nested: StructType, _) if arr.isEmpty =>
             // one array hop: fields inside become exists() leaves
             walk(nested, p, Some(p)).map {
-              case (lp, Scalar(full, dt)) =>
+              case (lp, Scalar(full, dt, _)) =>
                 (lp, ArrayField(p, full.drop(p.length), dt))
               case other => other
             }
@@ -71,7 +72,8 @@ object KqlCompiler {
           case dt =>
             arr match {
               case Some(ap) => Seq(p -> ArrayField(ap, p.drop(ap.length), dt))
-              case None => Seq(p -> Scalar(p, dt))
+              case None =>
+                Seq(p -> Scalar(p, dt, f.metadata.contains("graftDateEpoch")))
             }
         }
       }
@@ -162,12 +164,22 @@ object KqlCompiler {
     * (type, op, value) combination is impossible (reference NarrowTypes
     * drops the branch — we fold to false). */
   private def leafPredicate(c: Column, dt: DataType, op: Kql.Op,
-                            value: String, isDate: Boolean): Option[Column] = {
+                            value: String, isDate: Boolean,
+                            dateEpoch: Boolean = false): Option[Column] = {
     def num: Option[Double] = value.toDoubleOption
     // `col: *` is EXISTS regardless of type (the reference's ConvertToExists
     // pass turns the degenerate match-anything filter into an existence
     // check, clp_s/search/ast/ConvertToExists.cpp)
     if (op == Kql.Eq && Wildcard.cleanUp(value) == "*") return Some(c.isNotNull)
+    // evaluate_epoch_date_filter (clp_s/search/QueryRunner.cpp:1163-1178):
+    // a NUMERIC operand against the timestamp-key column compares the row's
+    // ENCODED epoch millis — `$_ts`, always stored alongside DateString
+    // leaves — not the raw date string; string/wildcard operands keep the
+    // raw-string semantics below. Double compare is exact for epoch millis
+    // (< 2^53) and honors fractional operands the way the reference's test
+    // corpus does (`timestamp > 1759417024299.9` ⇒ the 1759417024300 row).
+    if (dateEpoch && !hasWildcard(value) && num.isDefined)
+      return Some(rangeOp(col(quoteName("$_ts")).cast("double"), op, lit(num.get)))
     (op, dt) match {
       case (Kql.Eq, StringType) =>
         Some(
@@ -218,7 +230,8 @@ object KqlCompiler {
 
   private def leafColumn(leaf: Leaf, op: Kql.Op, value: String, isDate: Boolean): Option[Column] =
     leaf match {
-      case Scalar(p, dt) => leafPredicate(colOf(p), dt, op, value, isDate)
+      case Scalar(p, dt, dateEpoch) =>
+        leafPredicate(colOf(p), dt, op, value, isDate, dateEpoch)
       case ArrayField(ap, inner, dt) =>
         // evaluate inside the array: any element matching satisfies (P9
         // array filters → exists); probe with a dummy to keep None-folding
@@ -272,7 +285,7 @@ object KqlCompiler {
         // an entry could be wrongly excluded — skip the rewrite there
         def satisfiesDecidable(l: Leaf): Boolean = {
           val dt = l match {
-            case Scalar(_, d) => d
+            case Scalar(_, d, _) => d
             case ArrayField(_, _, d) => d
             case ArrayElem(_, d) => d
           }

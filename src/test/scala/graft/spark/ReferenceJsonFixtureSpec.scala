@@ -116,6 +116,35 @@ class ReferenceJsonFixtureSpec extends SparkSpecBase {
     assert(KvIr.deserialize(KvIr.serialize(events)) == events.toVector)
   }
 
+  test("timestamp-key search fixtures: float-seconds and string-epoch forms") {
+    // test-clp_s-search.cpp:297-344: numeric KQL compares over the
+    // `--timestamp-key` column — float epoch-seconds
+    // (test_search_float_timestamp.jsonl) and string epoch-millis
+    // (test_search_int_timestamp.jsonl) — with the reference's own
+    // (query, expected idx set) tables
+    val cases = Seq(
+      ("test_search_float_timestamp.jsonl", Seq(
+        "timestamp < 1759417024.4" -> Seq(0L, 1L, 2L),
+        "timestamp > 1759417023.1" -> Seq(0L, 1L, 2L),
+        "timestamp > 1759417024" -> Seq(0L, 1L, 2L),
+        "timestamp > 1759417024.1 AND timestamp < 1759417024.3" -> Seq(1L))),
+      ("test_search_int_timestamp.jsonl", Seq(
+        "timestamp < 1759417024400" -> Seq(0L, 1L, 2L),
+        "timestamp > 1759417023100" -> Seq(0L, 1L, 2L),
+        "timestamp > 1759417024000" -> Seq(0L, 1L, 2L),
+        "timestamp > 1759417024100 AND timestamp < 1759417024300" -> Seq(1L),
+        "timestamp > 1759417024299.9" -> Seq(2L))))
+    cases.foreach { case (name, qs) =>
+      val dir = ingest(lines(name),
+        JsonPipeline.Options(timestampKey = Some("timestamp")))
+      qs.foreach { case (kql, want) =>
+        val got = JsonPipeline.kqlSearch(spark, dir, kql, Seq("idx"))
+          .select("idx").as[Long].collect().toSeq.sorted
+        assert(got == want, s"$name: $kql")
+      }
+    }
+  }
+
   test("simple-order corpus: event index preserves input log order") {
     val ls = lines("test_simple_order.jsonl")
     val dir = ingest(ls, JsonPipeline.Options())
