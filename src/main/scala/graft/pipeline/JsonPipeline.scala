@@ -69,6 +69,12 @@ object JsonPipeline {
         * so the schema identity) changes exactly like the reference's MPT
         * does under the flag. Off ⇒ plain `Float` (the clp_s default). */
       retainFloatFormat: Boolean = false,
+      /** The clp_s `--max-document-size` ingest guard
+        * (JsonFileIterator.cpp:77-81, default 512 MiB): a single record
+        * larger than this many UTF-8 bytes refuses loudly instead of
+        * ballooning executor memory — the reference errors the parse the
+        * same way when its document buffer would exceed the cap. */
+      maxDocumentSize: Long = 512L * 1024 * 1024,
       orderCol: Option[String] = None,
       filesPerSchema: Int = 1,
       /** Parquet writer options for the archive outputs — same knob as
@@ -107,8 +113,15 @@ object JsonPipeline {
   /** (descriptor, epoch-millis-or-null, array-shape entries) per record —
     * a flat tuple return so Catalyst's encoder codegen stays happy. */
   private def shapeUdf(timestampKey: Option[String], structurizeArrays: Boolean,
-                       retainFloatFormat: Boolean = false) =
+                       retainFloatFormat: Boolean = false,
+                       maxDocumentSize: Long = Long.MaxValue) =
     udf { (json: String) =>
+      // cheap char-count fast path; exact UTF-8 length only near the cap
+      if (json.length.toLong * 3 > maxDocumentSize &&
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong >
+            maxDocumentSize)
+        throw JsonShape.ParseError(
+          s"document exceeds max-document-size ($maxDocumentSize B)", 0)
       val ls = JsonShape.typedLeaves(json, retainFloatFormat,
         timestampKey, structurizeArrays)
       val descriptor = ls.map(l => s"${l.path}:${l.nodeType}").distinct.sorted.mkString(";")
@@ -251,7 +264,7 @@ object JsonPipeline {
     // contiguous, boundedly-many files, ordered by log_event_idx within
     val shaped0 = indexed
       .withColumn("_shape", shapeUdf(options.timestampKey, options.structurizeArrays,
-        options.retainFloatFormat)(col(jsonCol)))
+        options.retainFloatFormat, options.maxDocumentSize)(col(jsonCol)))
       .select(Seq(
         md5(col("_shape._1")).as("schema_id"),
         col("_shape._1").as("descriptor"),

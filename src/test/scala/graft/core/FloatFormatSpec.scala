@@ -60,6 +60,33 @@ class FloatFormatSpec extends AnyFunSuite {
     assert(KvIr.deserialize(KvIr.serialize(Seq(ev))) == Vector(ev))
   }
 
+  test("property: shortest double representations always format-encode") {
+    // the reference's fuzz gate (test-FloatFormatEncoding.cpp:36-60) in
+    // Java clothing: machine-formatted floats — here the shortest
+    // round-trip form, which is by construction the correctly-rounded
+    // decimal of its double at its own precision — must always encode and
+    // restore byte-exactly, across the full bit space including
+    // subnormals, negative zero, and extreme exponents
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue), n = 2000) { bits =>
+      val v = java.lang.Double.longBitsToDouble(bits)
+      if (java.lang.Double.isFinite(v)) {
+        val s = v.toString
+        // JDK 17's legacy Double.toString occasionally emits MORE than 17
+        // digits (non-minimal output, fixed by JDK-4511638 in 19); those
+        // overshoot the reference's significant-digit cap and must fall to
+        // the dictionary instead — also asserted
+        val sig = math.max(
+          s.takeWhile(c => c != 'e' && c != 'E')
+            .filter(_.isDigit).dropWhile(_ == '0').length, 1)
+        val enc = FloatFormat.encode(s)
+        if (sig <= 17) {
+          assert(enc.isDefined, s"'$s' must encode")
+          assert(FloatFormat.restore(enc.get._1, enc.get._2) == s, s"'$s'")
+        } else assert(enc.isEmpty, s"'$s' exceeds 17 significant digits")
+      }
+    }
+  }
+
   test("property: doubles rendered with fixed fraction digits round-trip") {
     forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue), Gen.choose(1, 6)) { (m, frac) =>
       val s = new java.math.BigDecimal(java.math.BigInteger.valueOf(m.toLong), frac)

@@ -553,6 +553,20 @@ class JsonPipelineSpec extends SparkSpecBase {
     assert(res.nRecords == 1)
   }
 
+  test("max-document-size refuses oversized records loudly (clp_s ingest guard)") {
+    val big = s"""{"k":"${"x" * 200}"}"""
+    val dir = Files.createTempDirectory("graft-jsonl-maxdoc").toString
+    intercept[org.apache.spark.SparkException] {
+      JsonPipeline.route(spark, Seq(big).toDF("json"), "json", dir,
+        options = JsonPipeline.Options(maxDocumentSize = 64))
+    }
+    // within the cap the same record ingests (the fast path is chars*3,
+    // the exact check is UTF-8 bytes)
+    val ok = Files.createTempDirectory("graft-jsonl-maxdoc-ok").toString
+    assert(JsonPipeline.route(spark, Seq(big).toDF("json"), "json", ok,
+      options = JsonPipeline.Options(maxDocumentSize = 4096)).nRecords == 1)
+  }
+
   test("chunked extraction writes ordered chunk files with a contiguous manifest") {
     val dir = Files.createTempDirectory("graft-jsonl-chunk").toString
     val originals = Seq.tabulate(23)(i => s"""{"n":$i,"msg":"event number $i"}""")
